@@ -1,0 +1,53 @@
+import os
+import sys
+
+# Force the CPU backend with 8 virtual devices for all tests so multi-chip
+# sharding paths are exercised without TPU hardware.  Must run before jax
+# is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0xC0DEC)
+
+
+def make_text_like(rng, n: int) -> bytes:
+    """Deterministic text-like test data: words from a small vocabulary with
+    repetition, so matches/words/literals all occur."""
+    vocab = [
+        b"the", b"quick", b"brown", b"fox", b"jumps", b"over", b"lazy", b"dog",
+        b"compression", b"entropy", b"symbol", b"ranking", b"reduced", b"offset",
+        b"tpu", b"kernel", b"0123456789", b"(parens)", b"[brackets]",
+    ]
+    out = bytearray()
+    while len(out) < n:
+        w = vocab[int(rng.integers(len(vocab)))]
+        out += w
+        out += b" " if rng.random() < 0.8 else b"\n"
+        if rng.random() < 0.05:
+            out += out[max(0, len(out) - 200) : max(0, len(out) - 100)]  # long repeats
+    return bytes(out[:n])
+
+
+def make_binary_like(rng, n: int) -> bytes:
+    """Mixed structured binary: runs, random spans, repeated blocks."""
+    out = bytearray()
+    while len(out) < n:
+        choice = rng.random()
+        if choice < 0.3:
+            out += bytes([int(rng.integers(256))]) * int(rng.integers(1, 64))
+        elif choice < 0.6:
+            out += rng.integers(0, 256, size=int(rng.integers(1, 128)), dtype=np.uint8).tobytes()
+        else:
+            take = min(len(out), int(rng.integers(4, 256)))
+            out += out[len(out) - take :]
+    return bytes(out[:n])

@@ -1,0 +1,460 @@
+"""Sequential numpy reference model of the OTZ segment format.
+
+This file IS the format specification: the JAX device encoder must produce a
+byte-identical stream (tests/test_device_*.py assert it), and the decoders
+(this one, and the native C++ one) must invert it bit-exactly.
+
+An OTZ segment is self-contained (fresh model state) and compresses up to a
+few tens of MB.  Segments are framed by the parallel container
+(orz_tpu/pcontainer.py) which is the block-data-parallel scaling axis.
+
+Segment bit-stream (MSB-first u32 words, same bit substrate as ORZ,
+reference src/coder.rs:159-216):
+
+    varint raw_len
+    varint chunk_input                      # entropy-chunk size in input bytes
+    [raw_len == 0 ends here]
+    varint num_counted                      # symbol census of chunk 0's items
+    9 bits x num_counted                    # (reference src/lz.rs:238-265)
+    per chunk (ceil(raw_len / chunk_input) of them):
+        varint n_items
+        huffman table A (389 syms, after_literal=1)
+        huffman table B (389 syms, after_literal=0)
+        huffman table C (240 syms, match length extension)
+        per item: huff A/B code; [match] robits raw bits;
+                  [lenid == 5] huff C code
+
+Model semantics (all bytes-only; b is the padded buffer, data in
+[F, F+L), zeros elsewhere; F = PAD_FRONT):
+
+    cctx(p)   = (b[p-1] & 0x7F) | alnum(b[p-2]) << 7
+    h2(x)     = (b[x] & 0x7F) | cctx(x) << 7          # 15-bit word key at x
+    word model: for EVERY position u, the update word[h2(u)] = (b[u+1],
+        b[u+2]) becomes visible at positions p >= u+3.  The prediction at p
+        is word[h2(p-1)].
+    rings: EVERY position q is inserted into ring[cctx(q)].  The reduced
+        offset of q seen from p (same context c) is the number of
+        context-c positions strictly between q and p; it must be < 4094.
+    candidates(p): among the last D positions q < p with
+        match_key(q) == match_key(p) (cctx + hashed dword), keep those with
+        reduced offset < 4094; score by (lcp16, then recency), extend the
+        winner to LZ_MATCH_MAX_LEN, cap by segment end; a match needs >= 4.
+    parse (mirrors the reference lazy heuristics, src/lz.rs:113-118):
+        if bestlen(p) >= 4:
+            if bestlen(p) < 120:
+                lazy_len1 = bestlen(p) + 1 + (robitlen(p) < 8)
+                lazy1 = bestlen(p+1) >= lazy_len1
+                lazy2 = bestlen(p+2) >= lazy_len1 - wordmatch(p)
+            MATCH unless lazy1 or lazy2
+        no match: WORD if wordmatch(p) and not (bestlen(p) >= 4 and lazy1)
+                  and p+2 <= end, else LITERAL
+    items: literal -> symbol b[p], len 1, after_literal := True
+           word    -> symbol 388,  len 2, after_literal := False
+           match   -> symbol 256 + roid*6 + min(5, len-4), len bytes,
+                      after_literal := False
+    symrank context = cctx(p) | after_literal << 8 (state at the item,
+    initial True); unlikely symbol = low byte of the word prediction.
+    symrank transform and update are identical to ORZ's
+    (reference src/symrank.rs:38-97, orz_tpu/golden/symrank.py).
+    Huffman code lengths are optimal 15-bit-limited lengths from the
+    vectorized package-merge (orz_tpu/device/pm_huffman.py); canonical code
+    assignment as ORZ (reference src/huffman.rs:118-141).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+from orz_tpu.device.pm_huffman import pm_code_lens
+from orz_tpu.device.spec import (
+    CHUNK_INPUT_DEFAULT,
+    LAZY_LEN_CAP,
+    LZ_LENID_SIZE,
+    LZ_MATCH_MAX_LEN,
+    LZ_MATCH_MIN_LEN,
+    NUM_CONTEXTS,
+    PAD_FRONT,
+    PAD_TAIL,
+    RING,
+    ROBITS_CHEAP,
+    ROID_DEC,
+    ROID_ENC,
+    SYMRANK_NUM_SYMBOLS,
+    WORD_SYMBOL,
+    WORD_TABLE_SIZE,
+    candidate_depth,
+    cctx_all,
+    h2_all,
+    match_key_all,
+    n_chunks_for,
+)
+from orz_tpu.golden.bitio import BitDecoder, BitEncoder
+from orz_tpu.golden.huffman import HuffmanDecoding, canonical_encodings
+from orz_tpu.golden.symrank import SymRankState
+
+
+def pad_segment(data: bytes) -> np.ndarray:
+    buf = np.zeros(PAD_FRONT + len(data) + PAD_TAIL, dtype=np.uint8)
+    buf[PAD_FRONT : PAD_FRONT + len(data)] = np.frombuffer(data, dtype=np.uint8)
+    return buf
+
+
+@dataclass
+class Analysis:
+    """Per-position arrays over the padded buffer (the phase-1 contract the
+    JAX analyze kernels must reproduce exactly)."""
+
+    cctx: np.ndarray
+    rank: np.ndarray  # rank within context at time p (0-based)
+    pred: np.ndarray  # predicted 2-byte word (LE int)
+    wordmatch: np.ndarray  # bool: b[p..p+1] == pred
+    bestlen: np.ndarray  # best match length (capped by end), 0 if none
+    bestro: np.ndarray  # reduced offset of winner (valid iff bestlen >= 4)
+
+
+@dataclass
+class Items:
+    """Item arrays (the phase-2/3 contract)."""
+
+    start: np.ndarray  # absolute position in padded buffer
+    kind: np.ndarray  # 0 literal, 1 word, 2 match
+    length: np.ndarray
+    symbol: np.ndarray  # pre-symrank symbol
+    sr_ctx: np.ndarray
+    sr_unlikely: np.ndarray
+    after_literal: np.ndarray  # table selector (state at item)
+    robitlen: np.ndarray
+    robits: np.ndarray
+    eml: np.ndarray  # encoded match length (len-4); huff C when >= 5
+    coded: np.ndarray = field(default=None)  # post-symrank symbol
+
+
+def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
+    """Sequential per-position analysis (the oracle for ops/analyze.py)."""
+    n = len(buf)
+    end = PAD_FRONT + seg_len
+    cctx = cctx_all(buf)
+    h2 = h2_all(buf)
+    mkey = match_key_all(buf)
+
+    rank = np.zeros(n, dtype=np.int64)
+    pred = np.zeros(n, dtype=np.int64)
+    bestlen = np.zeros(n, dtype=np.int64)
+    bestro = np.zeros(n, dtype=np.int64)
+
+    ctx_count = np.zeros(NUM_CONTEXTS, dtype=np.int64)
+    words = np.zeros(WORD_TABLE_SIZE, dtype=np.int64)
+    chains: dict = {}
+
+    for p in range(PAD_FRONT, end):
+        # word update for u = p-3 becomes visible now
+        u = p - 3
+        if u >= PAD_FRONT:
+            words[h2[u]] = int(buf[u + 1]) | int(buf[u + 2]) << 8
+        pred[p] = words[h2[p - 1]]
+        rank[p] = ctx_count[cctx[p]]
+
+        # candidate search among the last `depth` same-key positions
+        chain = chains.get(mkey[p])
+        best16, bro, blen = 0, -1, 0
+        if chain:
+            for q in chain[-1 : -depth - 1 : -1]:
+                ro = rank[p] - 1 - rank[q]
+                if ro >= RING:
+                    continue
+                l16 = _lcp(buf, q, p, 16)
+                if l16 > best16:
+                    best16, bro = l16, ro
+                    if l16 >= 16:
+                        blen = _lcp(buf, q, p, LZ_MATCH_MAX_LEN)
+                    else:
+                        blen = l16
+        if bro >= 0:
+            blen = min(blen, end - p)
+            if blen >= LZ_MATCH_MIN_LEN:
+                bestlen[p] = blen
+                bestro[p] = bro
+
+        chains.setdefault(mkey[p], []).append(p)
+        ctx_count[cctx[p]] += 1
+
+    b32 = buf.astype(np.int64)
+    nxt = np.roll(b32, -1)
+    nxt[-1] = 0
+    cur_word = b32 + (nxt << 8)
+    # plain equality, as the reference (src/lz.rs:133): an all-zero
+    # prediction legitimately matches zero bytes; the parse guards word
+    # items to p+2 <= end so pad bytes are never emitted.
+    wordmatch = cur_word == pred
+    return Analysis(cctx, rank, pred, wordmatch, bestlen, bestro)
+
+
+def _lcp(buf: np.ndarray, q: int, p: int, cap: int) -> int:
+    a = buf[q : q + cap]
+    b = buf[p : p + cap]
+    neq = a != b
+    i = int(np.argmax(neq))
+    return cap if not neq[i] else i
+
+
+def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int) -> Items:
+    """Sequential parse walk (the oracle for ops/parse.py)."""
+    end = PAD_FRONT + seg_len
+    starts: List[int] = []
+    kinds: List[int] = []
+    lengths: List[int] = []
+
+    p = PAD_FRONT
+    while p < end:
+        blen = int(an.bestlen[p])
+        is_match = blen >= LZ_MATCH_MIN_LEN
+        lazy1 = False
+        if is_match and blen < LAZY_LEN_CAP:
+            robitlen = int(ROID_ENC[an.bestro[p], 1])
+            lazy_len1 = blen + 1 + (1 if robitlen < ROBITS_CHEAP else 0)
+            lazy1 = p + 1 < end and int(an.bestlen[p + 1]) >= lazy_len1
+            lazy2 = p + 2 < end and int(an.bestlen[p + 2]) >= lazy_len1 - int(an.wordmatch[p])
+            if lazy1 or lazy2:
+                is_match = False
+        if is_match:
+            starts.append(p)
+            kinds.append(2)
+            lengths.append(blen)
+            p += blen
+        elif an.wordmatch[p] and not lazy1 and p + 2 <= end:
+            starts.append(p)
+            kinds.append(1)
+            lengths.append(2)
+            p += 2
+        else:
+            starts.append(p)
+            kinds.append(0)
+            lengths.append(1)
+            p += 1
+
+    start = np.asarray(starts, dtype=np.int64)
+    kind = np.asarray(kinds, dtype=np.int64)
+    length = np.asarray(lengths, dtype=np.int64)
+
+    after_literal = np.empty(len(start), dtype=np.int64)
+    if len(start):
+        after_literal[0] = 1
+        after_literal[1:] = kind[:-1] == 0
+
+    ro = an.bestro[start]
+    roid = np.where(kind == 2, ROID_ENC[ro, 0], 0)
+    robitlen = np.where(kind == 2, ROID_ENC[ro, 1], 0)
+    robits = np.where(kind == 2, ROID_ENC[ro, 2], 0)
+    eml = np.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
+    lenid = np.minimum(eml, LZ_LENID_SIZE - 1)
+    symbol = np.where(
+        kind == 2,
+        256 + roid * LZ_LENID_SIZE + lenid,
+        np.where(kind == 1, WORD_SYMBOL, buf[start].astype(np.int64)),
+    )
+    sr_ctx = an.cctx[start] | (after_literal << 8)
+    sr_unlikely = an.pred[start] & 0xFF
+    return Items(start, kind, length, symbol, sr_ctx, sr_unlikely, after_literal, robitlen, robits, eml)
+
+
+def census_ref(symbols: np.ndarray):
+    """Chunk-0 symbol census -> (num_counted, ordered counted symbols, full
+    init permutation), mirroring reference src/lz.rs:238-265."""
+    counts = np.bincount(symbols, minlength=SYMRANK_NUM_SYMBOLS)
+    order = sorted(range(SYMRANK_NUM_SYMBOLS), key=lambda s: -max(int(counts[s]), 1))
+    num_counted = int((counts > 1).sum())
+    return num_counted, order[:num_counted], np.asarray(order, dtype=np.int64)
+
+
+def symrank_ref(items: Items, init_perm: np.ndarray) -> np.ndarray:
+    """Sequential symrank transform over all items (oracle for ops/symrank)."""
+    sr = SymRankState()
+    sr.init_all(init_perm)
+    coded = np.empty(len(items.start), dtype=np.int64)
+    for i in range(len(items.start)):
+        coded[i] = sr.encode(int(items.sr_ctx[i]), int(items.symbol[i]), int(items.sr_unlikely[i]))
+    items.coded = coded
+    return coded
+
+
+def encode_segment_ref(data: bytes, level: int = 1, chunk_input: int = CHUNK_INPUT_DEFAULT) -> bytes:
+    """Sequential OTZ encoder (slow; the stream-level oracle)."""
+    enc = BitEncoder()
+    enc.encode_varint(len(data))
+    enc.encode_varint(chunk_input)
+    if not data:
+        return enc.finish()
+
+    buf = pad_segment(data)
+    an = analyze_ref(buf, len(data), candidate_depth(level))
+    items = parse_ref(an, buf, len(data))
+
+    n_chunks = n_chunks_for(len(data), chunk_input)
+    chunk_id = (items.start - PAD_FRONT) // chunk_input
+    first_chunk = items.symbol[chunk_id == 0]
+    num_counted, counted, init_perm = census_ref(first_chunk)
+    enc.encode_varint(num_counted)
+    for s in counted:
+        enc.encode_raw_bits(int(s), 9)
+
+    coded = symrank_ref(items, init_perm)
+
+    for k in range(n_chunks):
+        sel = chunk_id == k
+        enc.encode_varint(int(sel.sum()))
+        _encode_chunk_items(enc, items, coded, sel)
+    return enc.finish()
+
+
+def _encode_chunk_items(enc: BitEncoder, items: Items, coded: np.ndarray, sel: np.ndarray) -> None:
+    cs = coded[sel]
+    al = items.after_literal[sel]
+    kind = items.kind[sel]
+    eml = items.eml[sel]
+    robitlen = items.robitlen[sel]
+    robits = items.robits[sel]
+
+    wA = np.bincount(cs[al == 1], minlength=SYMRANK_NUM_SYMBOLS)
+    wB = np.bincount(cs[al == 0], minlength=SYMRANK_NUM_SYMBOLS)
+    wC = np.bincount(
+        eml[(kind == 2) & (eml >= LZ_LENID_SIZE - 1)], minlength=LZ_MATCH_MAX_LEN
+    )
+    lensA = pm_code_lens(wA)
+    lensB = pm_code_lens(wB)
+    lensC = pm_code_lens(wC)
+    for lens in (lensA, lensB, lensC):
+        enc.encode_huffman_table(list(lens))
+    encA = canonical_encodings(list(lensA))
+    encB = canonical_encodings(list(lensB))
+    encC = canonical_encodings(list(lensC))
+
+    for i in range(len(cs)):
+        enc.encode_huffman_sym(encA if al[i] else encB, int(cs[i]))
+        if kind[i] == 2:
+            enc.encode_raw_bits(int(robits[i]), int(robitlen[i]))
+            if eml[i] >= LZ_LENID_SIZE - 1:
+                enc.encode_huffman_sym(encC, int(eml[i]))
+
+
+class OTZFormatError(Exception):
+    pass
+
+
+def decode_segment_ref(payload: bytes) -> bytes:
+    """Sequential OTZ decoder."""
+    dec = BitDecoder(payload)
+    raw_len = dec.decode_varint()
+    chunk_input = dec.decode_varint()
+    if raw_len == 0:
+        return b""
+    if chunk_input <= 0:
+        raise OTZFormatError("bad chunk_input")
+
+    buf = np.zeros(PAD_FRONT + raw_len + PAD_TAIL, dtype=np.uint8)
+    end = PAD_FRONT + raw_len
+
+    num_counted = dec.decode_varint()
+    if num_counted > SYMRANK_NUM_SYMBOLS:
+        raise OTZFormatError("bad census")
+    seen = np.zeros(SYMRANK_NUM_SYMBOLS, dtype=bool)
+    perm: List[int] = []
+    for _ in range(num_counted):
+        s = dec.decode_raw_bits(9)
+        if s >= SYMRANK_NUM_SYMBOLS or seen[s]:
+            raise OTZFormatError("bad census symbol")
+        perm.append(s)
+        seen[s] = True
+    perm.extend(s for s in range(SYMRANK_NUM_SYMBOLS) if not seen[s])
+
+    sr = SymRankState()
+    sr.init_all(np.asarray(perm, dtype=np.int64))
+    words = np.zeros(WORD_TABLE_SIZE, dtype=np.int64)
+    ring = np.zeros((NUM_CONTEXTS, RING), dtype=np.int64)
+    ctx_count = np.zeros(NUM_CONTEXTS, dtype=np.int64)
+
+    _ALNUM = np.zeros(256, dtype=np.int64)
+    for b in range(256):
+        _ALNUM[b] = int(chr(b).isascii() and chr(b).isalnum())
+
+    def cctx_at(p: int) -> int:
+        return (int(buf[p - 1]) & 0x7F) | (int(_ALNUM[buf[p - 2]]) << 7)
+
+    def h2_at(x: int) -> int:
+        return (int(buf[x]) & 0x7F) | (cctx_at(x) << 7)
+
+    p = PAD_FRONT
+    done_ring = PAD_FRONT  # next position to insert into its context ring
+    done_word = PAD_FRONT  # next word-model update u to apply
+    after_literal = True
+
+    n_chunks = n_chunks_for(raw_len, chunk_input)
+    for _ in range(n_chunks):
+        n_items = dec.decode_varint()
+        tabs = []
+        for nsym in (SYMRANK_NUM_SYMBOLS, SYMRANK_NUM_SYMBOLS, LZ_MATCH_MAX_LEN):
+            code_lens, max_len = dec.decode_huffman_table()
+            if len(code_lens) > nsym:
+                raise OTZFormatError("oversized huffman table")
+            tabs.append(HuffmanDecoding(code_lens, max_len))
+        tabA, tabB, tabC = tabs
+
+        for _ in range(n_items):
+            if p >= end:
+                raise OTZFormatError("items past end")
+            # catch up bytes-only model state: every position q < p enters
+            # its context ring; word updates for u <= p-3 become visible
+            while done_ring < p:
+                c = cctx_at(done_ring)
+                ring[c, ctx_count[c] % RING] = done_ring
+                ctx_count[c] += 1
+                done_ring += 1
+            while done_word <= p - 3:
+                u = done_word
+                words[h2_at(u)] = int(buf[u + 1]) | int(buf[u + 2]) << 8
+                done_word += 1
+
+            c1 = cctx_at(p)
+            last_word = int(words[h2_at(p - 1)])
+            sr_ctx = c1 | (int(after_literal) << 8)
+            sym = dec.decode_huffman_sym(tabA if after_literal else tabB)
+            if sym >= SYMRANK_NUM_SYMBOLS:
+                raise OTZFormatError("symbol out of range")
+            v = sr.decode(sr_ctx, sym, last_word & 0xFF)
+
+            if v == WORD_SYMBOL:
+                if p + 2 > end:
+                    raise OTZFormatError("word past end")
+                buf[p] = last_word & 0xFF
+                buf[p + 1] = last_word >> 8
+                p += 2
+                after_literal = False
+            elif v <= 255:
+                buf[p] = v
+                p += 1
+                after_literal = True
+            else:
+                roid = (v - 256) // LZ_LENID_SIZE
+                lenid = (v - 256) % LZ_LENID_SIZE
+                robase, robitlen = int(ROID_DEC[roid, 0]), int(ROID_DEC[roid, 1])
+                ro = robase + dec.decode_raw_bits(robitlen)
+                if lenid == LZ_LENID_SIZE - 1:
+                    eml = dec.decode_huffman_sym(tabC)
+                else:
+                    eml = lenid
+                match_len = eml + LZ_MATCH_MIN_LEN
+                if ro >= ctx_count[c1]:
+                    raise OTZFormatError("reduced offset out of range")
+                q = int(ring[c1, (ctx_count[c1] - 1 - ro) % RING])
+                if q >= p or p + match_len > end:
+                    raise OTZFormatError("bad match span")
+                for k in range(match_len):
+                    buf[p + k] = buf[q + k]
+                p += match_len
+                after_literal = False
+
+    if p != end:
+        raise OTZFormatError("decoded length mismatch")
+    return buf[PAD_FRONT:end].tobytes()

@@ -1,0 +1,108 @@
+"""OTZ format constants and shared pure helpers.
+
+Values shared with the ORZ format (symbol space, ROID schedule, ring size,
+match length bounds) are imported from orz_tpu.constants so the two formats
+stay aligned where they agree; OTZ-specific values live here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from orz_tpu.constants import (
+    LZ_LENID_SIZE,
+    LZ_MATCH_MAX_LEN,
+    LZ_MATCH_MIN_LEN,
+    LZ_MF_BUCKET_ITEM_SIZE,
+    LZ_ROID_DECODING_ARRAY,
+    LZ_ROID_ENCODING_ARRAY,
+    SYMRANK_NUM_SYMBOLS,
+    WORD_SYMBOL,
+    WORD_TABLE_SIZE,
+)
+
+OTZ_MAGIC = b"OTZ1"
+
+# Logical data starts at this offset inside the padded buffer; the front pad
+# is zeros so contexts of the first positions are well-defined without
+# branches (the ORZ analogue is the sentinel region, reference src/lib.rs:54).
+PAD_FRONT = 16
+# Tail slack: LCP reads run up to LZ_MATCH_MAX_LEN past the end, dword loads
+# 3 past that, word-model values 2 past.
+PAD_TAIL = LZ_MATCH_MAX_LEN + 32
+
+RING = LZ_MF_BUCKET_ITEM_SIZE  # 4094 reachable reduced offsets (ROID table)
+NUM_CONTEXTS = 256  # hash1-style byte contexts
+CHUNK_INPUT_DEFAULT = 1 << 21  # input bytes per entropy chunk (own tables)
+
+# Max candidate depth per level: with exact-key grouping every candidate
+# shares the hashed dword, so depths are smaller than orz's chain-walk depths
+# (reference src/main.rs:97-101 walks 5/15/45 hash-chain nodes, most of which
+# fail the first dword test).
+LEVEL_CANDIDATES = {0: 4, 1: 8, 2: 16}
+
+# lazy-parse thresholds mirrored from the reference parse heuristics
+# (reference src/lz.rs:113-118): matches shorter than MAX_LEN/2 may be
+# deferred if the next/next-next position has a strictly better match.
+LAZY_LEN_CAP = LZ_MATCH_MAX_LEN // 2  # 120
+ROBITS_CHEAP = 8  # robitlen < 8 counts as a "cheap" offset in lazy_len1
+
+# numpy copies of the ROID schedule (shared with ORZ, reference
+# src/lz.rs:494-534): reduced_offset -> (roid, robitlen, robits)
+ROID_ENC = np.asarray(LZ_ROID_ENCODING_ARRAY, dtype=np.int32)
+ROID_DEC = np.asarray(LZ_ROID_DECODING_ARRAY, dtype=np.int32)
+
+_ALNUM = np.zeros(256, dtype=np.int32)
+for _b in range(256):
+    _ALNUM[_b] = int(chr(_b).isascii() and chr(_b).isalnum())
+
+
+def candidate_depth(level: int) -> int:
+    return LEVEL_CANDIDATES[level]
+
+
+def n_chunks_for(raw_len: int, chunk_input: int) -> int:
+    return max(1, -(-raw_len // chunk_input))
+
+
+# --- pure per-position model functions (numpy, vectorized over positions) ---
+
+
+def cctx_all(buf: np.ndarray) -> np.ndarray:
+    """Byte context in which each position is coded: low 7 bits of the
+    previous byte plus an is-alphanumeric bit of the byte before that
+    (the ORZ hash1 of pos-1, reference src/lz.rs:481-486)."""
+    b = buf.astype(np.int32)
+    prev1 = np.roll(b, 1)
+    prev2 = np.roll(b, 2)
+    prev1[0] = 0
+    prev2[:2] = 0
+    return (prev1 & 0x7F) | (_ALNUM[prev2] << 7)
+
+
+def h2_all(buf: np.ndarray) -> np.ndarray:
+    """Word-model key AT each position x, over bytes x-2..x (the ORZ hash2
+    shape, reference src/lz.rs:488-492): 15 bits."""
+    b = buf.astype(np.int32)
+    prev1 = np.roll(b, 1)
+    prev2 = np.roll(b, 2)
+    prev1[0] = 0
+    prev2[:2] = 0
+    c_prev = (prev1 & 0x7F) | (_ALNUM[prev2] << 7)
+    return (b & 0x7F) | (c_prev << 7)
+
+
+def dword_all(buf: np.ndarray) -> np.ndarray:
+    """Little-endian u32 at each position (reads 3 bytes past the end, which
+    the tail pad covers)."""
+    b = buf.astype(np.uint32)
+    return b | np.roll(b, -1) << 8 | np.roll(b, -2) << 16 | np.roll(b, -3) << 24
+
+
+def match_key_all(buf: np.ndarray) -> np.ndarray:
+    """Candidate grouping key: context in the high 8 bits, 24-bit
+    multiplicative hash of the dword below.  Collisions are part of the
+    format's *encoder* behavior (they occupy candidate slots) but never its
+    correctness: every candidate is length-verified."""
+    h24 = ((dword_all(buf) * np.uint32(2654435761)) >> np.uint32(8)).astype(np.int64) & 0xFFFFFF
+    return (cctx_all(buf).astype(np.int64) << 24) | h24

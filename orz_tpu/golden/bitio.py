@@ -33,6 +33,8 @@ class BitEncoder:
             self._val &= (1 << self._len) - 1
 
     def _put(self, nbits: int, bits: int) -> None:
+        nbits = int(nbits)
+        bits = int(bits)  # accept numpy integers without u64 overflow
         self._val = ((self._val << nbits) | (bits & ((1 << nbits) - 1))) & _MASK64
         self._len += nbits
 

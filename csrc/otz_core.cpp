@@ -1,0 +1,337 @@
+// Native OTZ segment decoder.
+//
+// OTZ encode runs on the TPU (orz_tpu/device/pipeline.py); decode is
+// inherently sequential per segment (symbol boundaries and model state feed
+// back per item), so the fast decode path is this C++ routine, parallelized
+// ACROSS segments by the container layer.  Semantics mirror the format
+// specification in orz_tpu/device/refcodec.py (decode_segment_ref) exactly;
+// the modeling stack matches the reference design (symbol ranking:
+// reference src/symrank.rs; canonical Huffman: reference src/huffman.rs;
+// MSB-first bit stream: reference src/coder.rs:159-216).
+//
+// Exported C ABI (ctypes):
+//   otz_raw_len(src, len) -> int64              (peek decompressed size)
+//   otz_decode_segment(src, len, dst, cap) -> int64 bytes written or <0
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int PAD_FRONT = 16;
+constexpr int PAD_TAIL = 240 + 32;
+constexpr int NUM_CONTEXTS = 256;
+constexpr int RING = 4094;
+constexpr int N_SYM = 389;
+constexpr int WORD_SYMBOL = 388;
+constexpr int LENID_SIZE = 6;
+constexpr int MATCH_MIN_LEN = 4;
+constexpr int MATCH_MAX_LEN = 240;
+constexpr int WORD_TABLE_SIZE = 1 << 15;
+constexpr int NCTX_SR = 512;
+
+struct BitDec {
+  const uint8_t* p;
+  int64_t len;
+  int64_t pos = 0;
+  uint64_t val = 0;
+  int nbits = 0;
+  bool fail = false;
+
+  void reserve32() {
+    if (nbits < 32) {
+      uint32_t w = 0;
+      for (int k = 0; k < 4; k++) {
+        uint8_t b = (pos + k < len) ? p[pos + k] : 0;  // zero slack past end
+        w = (w << 8) | b;
+      }
+      pos += 4;
+      val = (val << 32) | w;
+      nbits += 32;
+    }
+  }
+  uint32_t peek(int n) { return n ? (uint32_t)((val >> (nbits - n)) & ((1u << n) - 1)) : 0; }
+  void skip(int n) { nbits -= n; }
+  uint32_t raw(int n) {
+    reserve32();
+    uint32_t v = peek(n);
+    skip(n);
+    return v;
+  }
+  uint64_t varint() {
+    uint64_t v = 0;
+    int shift = 0;
+    while (true) {
+      reserve32();
+      uint32_t bits = peek(2);
+      skip(2);
+      v |= (uint64_t)(bits & 1) << shift;
+      shift++;
+      if (bits <= 1) break;
+      if (shift > 62) { fail = true; break; }
+    }
+    return v;
+  }
+};
+
+// flat-LUT canonical Huffman decoding (reference src/huffman.rs:144-168)
+struct HuffDec {
+  std::vector<uint16_t> lut_sym;
+  std::vector<uint8_t> lut_len;
+  int max_code_len = 0;
+
+  bool build(BitDec& bd, int nsym_max) {
+    int lens[N_SYM];
+    for (int i = 0; i < nsym_max; i++) lens[i] = 0;
+    max_code_len = (int)bd.varint();
+    if (max_code_len < 0 || max_code_len > 15) return false;
+    int last_sym = -1;
+    while (true) {
+      int64_t delta = (int64_t)bd.varint();
+      if (bd.fail) return false;
+      if (delta == 0) break;
+      int sym = (last_sym < 0) ? (int)delta - 1 : last_sym + (int)delta;
+      if (sym < 0 || sym >= nsym_max) return false;
+      int64_t sub = (int64_t)bd.varint();
+      if (sub < 0 || sub > max_code_len) return false;
+      lens[sym] = max_code_len - (int)sub;
+      last_sym = sym;
+    }
+    lut_sym.assign((size_t)1 << max_code_len, 0);
+    lut_len.assign((size_t)1 << max_code_len, 0);
+    // canonical order by (len, sym)
+    uint32_t code = 0;
+    int cur_len = 1;
+    for (int l = 1; l <= max_code_len; l++) {
+      for (int s = 0; s < nsym_max; s++) {
+        if (lens[s] != l) continue;
+        code <<= (l - cur_len);
+        cur_len = l;
+        int rest = max_code_len - l;
+        uint64_t base = (uint64_t)code << rest;
+        for (int64_t k = 0; k < (1LL << rest); k++) {
+          lut_sym[base + k] = (uint16_t)s;
+          lut_len[base + k] = (uint8_t)l;
+        }
+        code++;
+      }
+    }
+    return true;
+  }
+  int decode(BitDec& bd) {
+    bd.reserve32();
+    if (max_code_len == 0) return lut_sym.empty() ? 0 : lut_sym[0];
+    uint32_t peeked = bd.peek(max_code_len);
+    bd.skip(lut_len[peeked]);
+    return lut_sym[peeked];
+  }
+};
+
+// symbol-ranking state (reference src/symrank.rs, golden/symrank.py)
+struct SymRank {
+  std::vector<uint16_t> va, ia;
+  std::vector<int32_t> cnt, isum;
+
+  void init(const int* perm) {
+    va.assign((size_t)NCTX_SR * N_SYM, 0);
+    ia.assign((size_t)NCTX_SR * N_SYM, 0);
+    cnt.assign(NCTX_SR, 0);
+    isum.assign(NCTX_SR, 1000000);
+    for (int c = 0; c < NCTX_SR; c++) {
+      uint16_t* v = &va[(size_t)c * N_SYM];
+      uint16_t* x = &ia[(size_t)c * N_SYM];
+      for (int r = 0; r < N_SYM; r++) {
+        v[r] = (uint16_t)perm[r];
+        x[perm[r]] = (uint16_t)r;
+      }
+    }
+  }
+  void update(int ctx, int v, int i) {
+    if (cnt[ctx] > N_SYM) {
+      cnt[ctx] = cnt[ctx] * 9 / 10;
+      isum[ctx] = isum[ctx] * 9 / 10;
+    }
+    cnt[ctx] += 1;
+    isum[ctx] += i;
+    int step = i / 16 + ((isum[ctx] / 16 / cnt[ctx]) & 0xFFFF);
+    int next_i = i - step;
+    if (next_i < 0) next_i = 0;
+    if (next_i < i / 2) next_i = i / 2;
+    uint16_t* vaC = &va[(size_t)ctx * N_SYM];
+    uint16_t* iaC = &ia[(size_t)ctx * N_SYM];
+    int d = i - next_i;
+    if (d == 0) return;
+    if (d == 1) {
+      uint16_t nv1 = vaC[next_i];
+      iaC[v] = (uint16_t)next_i;
+      vaC[i] = nv1;
+      iaC[nv1] = (uint16_t)i;
+      vaC[next_i] = (uint16_t)v;
+    } else {
+      int ni2 = next_i;
+      int ni1 = next_i + d / 2;
+      uint16_t nv1 = vaC[ni1];
+      uint16_t nv2 = vaC[ni2];
+      vaC[i] = nv1;
+      iaC[nv1] = (uint16_t)i;
+      vaC[ni1] = nv2;
+      iaC[nv2] = (uint16_t)ni1;
+      vaC[ni2] = (uint16_t)v;
+      iaC[v] = (uint16_t)ni2;
+    }
+  }
+  int decode(int ctx, int i, int vunlikely) {
+    uint16_t* iaC = &ia[(size_t)ctx * N_SYM];
+    int iu = iaC[vunlikely];
+    if (i == N_SYM - 1) i = iu;
+    else i = i + (i < iu ? 0 : 1);
+    int v = va[(size_t)ctx * N_SYM + i];
+    update(ctx, v, i);
+    return v;
+  }
+};
+
+// ROID schedule (shared with ORZ, reference src/lz.rs:494-534)
+struct Roid {
+  int base[22];
+  int bits[22];
+  Roid() {
+    int b = 0, id = 0;
+    while (b < RING) {
+      int bl = id / 2;
+      base[id] = b;
+      bits[id] = bl;
+      for (int rest = 0; rest < (1 << bl) && b < RING; rest++) b++;
+      id++;
+    }
+  }
+};
+const Roid ROID;
+
+inline int alnum(uint8_t b) {
+  return (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z');
+}
+
+struct Decoder {
+  std::vector<uint8_t> buf;
+  std::vector<int32_t> ring;
+  int32_t ctx_count[NUM_CONTEXTS];
+  uint16_t words[WORD_TABLE_SIZE];
+  SymRank sr;
+  int64_t end = 0, done_ring = PAD_FRONT, done_word = PAD_FRONT;
+
+  inline int cctx_at(int64_t p) const {
+    return (buf[p - 1] & 0x7F) | (alnum(buf[p - 2]) << 7);
+  }
+  inline int h2_at(int64_t x) const { return (buf[x] & 0x7F) | (cctx_at(x) << 7); }
+
+  int64_t run(const uint8_t* src, int64_t src_len, uint8_t* dst, int64_t cap) {
+    BitDec bd{src, src_len};
+    int64_t raw_len = (int64_t)bd.varint();
+    int64_t chunk_input = (int64_t)bd.varint();
+    if (bd.fail) return -1;
+    if (raw_len == 0) return 0;
+    if (chunk_input <= 0 || raw_len > cap) return -2;
+
+    buf.assign(PAD_FRONT + raw_len + PAD_TAIL, 0);
+    end = PAD_FRONT + raw_len;
+    ring.assign((size_t)NUM_CONTEXTS * RING, 0);
+    memset(ctx_count, 0, sizeof(ctx_count));
+    memset(words, 0, sizeof(words));
+
+    int perm[N_SYM];
+    bool seen[N_SYM] = {false};
+    int64_t num_counted = (int64_t)bd.varint();
+    if (num_counted > N_SYM) return -3;
+    int np = 0;
+    for (int64_t k = 0; k < num_counted; k++) {
+      int s = (int)bd.raw(9);
+      if (s >= N_SYM || seen[s]) return -3;
+      perm[np++] = s;
+      seen[s] = true;
+    }
+    for (int s = 0; s < N_SYM; s++)
+      if (!seen[s]) perm[np++] = s;
+    sr.init(perm);
+
+    int64_t n_chunks = (raw_len + chunk_input - 1) / chunk_input;
+    int64_t p = PAD_FRONT;
+    bool after_literal = true;
+
+    for (int64_t c = 0; c < n_chunks; c++) {
+      int64_t n_items = (int64_t)bd.varint();
+      HuffDec tabA, tabB, tabC;
+      if (!tabA.build(bd, N_SYM)) return -4;
+      if (!tabB.build(bd, N_SYM)) return -4;
+      if (!tabC.build(bd, MATCH_MAX_LEN)) return -4;
+
+      for (int64_t it = 0; it < n_items; it++) {
+        if (p >= end || bd.fail) return -5;
+        while (done_ring < p) {
+          int cc = cctx_at(done_ring);
+          ring[(size_t)cc * RING + (ctx_count[cc] % RING)] = (int32_t)done_ring;
+          ctx_count[cc]++;
+          done_ring++;
+        }
+        while (done_word <= p - 3) {
+          int64_t u = done_word;
+          words[h2_at(u)] = (uint16_t)(buf[u + 1] | (buf[u + 2] << 8));
+          done_word++;
+        }
+
+        int c1 = cctx_at(p);
+        int last_word = words[h2_at(p - 1)];
+        int sr_ctx = c1 | ((int)after_literal << 8);
+        int sym = (after_literal ? tabA : tabB).decode(bd);
+        if (sym >= N_SYM) return -6;
+        int v = sr.decode(sr_ctx, sym, last_word & 0xFF);
+
+        if (v == WORD_SYMBOL) {
+          if (p + 2 > end) return -7;
+          buf[p] = (uint8_t)(last_word & 0xFF);
+          buf[p + 1] = (uint8_t)(last_word >> 8);
+          p += 2;
+          after_literal = false;
+        } else if (v <= 255) {
+          buf[p] = (uint8_t)v;
+          p += 1;
+          after_literal = true;
+        } else {
+          int roid = (v - 256) / LENID_SIZE;
+          int lenid = (v - 256) % LENID_SIZE;
+          if (roid >= 22) return -8;
+          int ro = ROID.base[roid] + (int)bd.raw(ROID.bits[roid]);
+          int eml = (lenid == LENID_SIZE - 1) ? tabC.decode(bd) : lenid;
+          int match_len = eml + MATCH_MIN_LEN;
+          if (ro >= ctx_count[c1] || ro >= RING) return -9;
+          int64_t q = ring[(size_t)c1 * RING + ((ctx_count[c1] - 1 - ro) % RING)];
+          if (q >= p || p + match_len > end) return -10;
+          for (int k = 0; k < match_len; k++) buf[p + k] = buf[q + k];
+          p += match_len;
+          after_literal = false;
+        }
+      }
+    }
+    if (p != end) return -11;
+    memcpy(dst, buf.data() + PAD_FRONT, raw_len);
+    return raw_len;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int64_t otz_raw_len(const uint8_t* src, int64_t src_len) {
+  BitDec bd{src, src_len};
+  int64_t v = (int64_t)bd.varint();
+  return bd.fail ? -1 : v;
+}
+
+int64_t otz_decode_segment(const uint8_t* src, int64_t src_len, uint8_t* dst, int64_t cap) {
+  Decoder d;
+  return d.run(src, src_len, dst, cap);
+}
+
+}  // extern "C"

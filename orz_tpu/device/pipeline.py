@@ -1,0 +1,183 @@
+"""The OTZ device encode pipeline: one jitted program per segment shape.
+
+Device side (encode_segment_jit): analyze -> parse -> census -> symrank ->
+package-merge Huffman -> bitpack, entirely inside jit with static shapes.
+Host side (DeviceSegmentCodec): pads/buckets segments, launches the jit,
+then assembles the final bit stream (headers are a few hundred bits; item
+payloads splice in via a vectorized shift-merge).
+
+Decode currently runs through the sequential reference decoder (numpy) or
+the native C++ OTZ decoder; OTZ targets encode throughput on-device, decode
+is host work parallelized across segments (SURVEY.md section 7, hard part 3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orz_tpu.device.spec import (
+    CHUNK_INPUT_DEFAULT,
+    LZ_LENID_SIZE,
+    LZ_MATCH_MAX_LEN,
+    PAD_FRONT,
+    PAD_TAIL,
+    SYMRANK_NUM_SYMBOLS,
+    candidate_depth,
+    n_chunks_for,
+)
+from orz_tpu.golden.bitio import BitEncoder
+from orz_tpu.ops.analyze import analyze
+from orz_tpu.ops.bitpack import Packed, pack_items
+from orz_tpu.ops.huffman import canonical_codes, pm_code_lens
+from orz_tpu.ops.parse import decisions, extract_items
+from orz_tpu.ops.symrank import transform as symrank_transform
+
+N_SYM = SYMRANK_NUM_SYMBOLS
+
+
+class SegmentOut(NamedTuple):
+    num_counted: jnp.ndarray  # scalar
+    census_order: jnp.ndarray  # (389,) init permutation (counted first)
+    lensA: jnp.ndarray  # (C, 389)
+    lensB: jnp.ndarray  # (C, 389)
+    lensC: jnp.ndarray  # (C, 389; first 240 meaningful)
+    words: jnp.ndarray  # (C, W) uint32
+    bitlen: jnp.ndarray  # (C,)
+    chunk_items: jnp.ndarray  # (C,)
+    n_items: jnp.ndarray  # scalar
+
+
+def _w_cap(chunk_input: int) -> int:
+    # worst case ~15 bits per input byte (all rare literals); +margin
+    return chunk_input // 2 + 64
+
+
+@partial(jax.jit, static_argnames=("depth", "chunk_input", "c_max"))
+def encode_segment_jit(
+    buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int, chunk_input: int, c_max: int
+) -> SegmentOut:
+    n = buf.shape[0]
+    an = analyze(buf, seg_len, depth)
+    dec = decisions(an, seg_len, n)
+    items = extract_items(dec, an, buf, seg_len)
+    m = items.start.shape[0]
+    valid = jnp.arange(m, dtype=jnp.int32) < items.n_items
+    chunk_id = jnp.clip((items.start - PAD_FRONT) // chunk_input, 0, c_max - 1)
+
+    # chunk-0 symbol census -> shared symrank init (reference src/lz.rs:238-265)
+    cens_idx = jnp.where(valid & (chunk_id == 0), items.symbol, N_SYM)
+    counts = jnp.zeros(N_SYM, jnp.int32).at[cens_idx].add(1, mode="drop")
+    primary = -jnp.maximum(counts, 1)
+    _, census_order = jax.lax.sort(
+        (primary, jnp.arange(N_SYM, dtype=jnp.int32)), num_keys=2
+    )
+    num_counted = (counts > 1).sum().astype(jnp.int32)
+
+    coded = symrank_transform(
+        items.symbol, items.sr_unlikely, items.sr_ctx, items.n_items, census_order
+    )
+
+    # per-chunk Huffman weights (3 tables, padded to 389 symbols)
+    rowA = jnp.where(valid & (items.after_literal == 1), chunk_id, c_max)
+    rowB = jnp.where(valid & (items.after_literal == 0), chunk_id, c_max)
+    has_ext = valid & (items.kind == 2) & (items.eml >= LZ_LENID_SIZE - 1)
+    rowC = jnp.where(has_ext, chunk_id, c_max)
+    codedc = jnp.clip(coded, 0, N_SYM - 1)
+    emlc = jnp.clip(items.eml, 0, N_SYM - 1)
+    wA = jnp.zeros((c_max + 1, N_SYM), jnp.int32).at[rowA, codedc].add(1)[:c_max]
+    wB = jnp.zeros((c_max + 1, N_SYM), jnp.int32).at[rowB, codedc].add(1)[:c_max]
+    wC = jnp.zeros((c_max + 1, N_SYM), jnp.int32).at[rowC, emlc].add(1)[:c_max]
+
+    all_w = jnp.concatenate([wA, wB, wC], axis=0)
+    all_lens = jax.vmap(pm_code_lens)(all_w)
+    all_codes = jax.vmap(canonical_codes)(all_lens)
+    lensA, lensB, lensC = jnp.split(all_lens, 3, axis=0)
+    codesA, codesB, codesC = jnp.split(all_codes, 3, axis=0)
+
+    packed = pack_items(
+        coded,
+        items.after_literal,
+        items.kind,
+        items.robitlen,
+        items.robits,
+        items.eml,
+        chunk_id,
+        items.n_items,
+        codesA,
+        lensA,
+        codesB,
+        lensB,
+        codesC,
+        lensC,
+        _w_cap(chunk_input),
+        LZ_LENID_SIZE - 1,
+    )
+    return SegmentOut(
+        num_counted,
+        census_order,
+        lensA,
+        lensB,
+        lensC,
+        packed.words,
+        packed.bitlen,
+        packed.n_items,
+        items.n_items,
+    )
+
+
+def _bucket_capacity(n: int) -> int:
+    """Segment-length bucket so jit compiles a handful of shapes."""
+    cap = 1 << 12
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+def encode_segment_device(
+    data: bytes, level: int = 1, chunk_input: int = CHUNK_INPUT_DEFAULT
+) -> bytes:
+    """Encode one OTZ segment on the device; returns the segment payload."""
+    enc = BitEncoder()
+    enc.encode_varint(len(data))
+    enc.encode_varint(chunk_input)
+    if not data:
+        return enc.finish()
+
+    cap = _bucket_capacity(len(data))
+    buf = np.zeros(PAD_FRONT + cap + PAD_TAIL, dtype=np.uint8)
+    buf[PAD_FRONT : PAD_FRONT + len(data)] = np.frombuffer(data, dtype=np.uint8)
+    c_max = n_chunks_for(cap, chunk_input)
+    out = encode_segment_jit(
+        jnp.asarray(buf), jnp.int32(len(data)), candidate_depth(level), chunk_input, c_max
+    )
+    return assemble_segment(enc, out, len(data), chunk_input)
+
+
+def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input: int) -> bytes:
+    """Host stream assembly from device outputs (headers + payload splice)."""
+    num_counted = int(out.num_counted)
+    order = np.asarray(out.census_order)
+    lensA = np.asarray(out.lensA)
+    lensB = np.asarray(out.lensB)
+    lensC = np.asarray(out.lensC)
+    words = np.asarray(out.words)
+    bitlen = np.asarray(out.bitlen)
+    chunk_items = np.asarray(out.chunk_items)
+
+    enc.encode_varint(num_counted)
+    for s in order[:num_counted]:
+        enc.encode_raw_bits(int(s), 9)
+
+    n_chunks = n_chunks_for(raw_len, chunk_input)
+    for k in range(n_chunks):
+        enc.encode_varint(int(chunk_items[k]))
+        enc.encode_huffman_table(lensA[k].tolist())
+        enc.encode_huffman_table(lensB[k].tolist())
+        enc.encode_huffman_table(lensC[k, :LZ_MATCH_MAX_LEN].tolist())
+        enc.append_bits_bulk(words[k], int(bitlen[k]))
+    return enc.finish()

@@ -100,9 +100,10 @@ def dword_all(buf: np.ndarray) -> np.ndarray:
 
 
 def match_key_all(buf: np.ndarray) -> np.ndarray:
-    """Candidate grouping key: context in the high 8 bits, 24-bit
-    multiplicative hash of the dword below.  Collisions are part of the
+    """Candidate grouping key: context in the high 8 bits, 23-bit
+    multiplicative hash of the dword below (31 bits total so the key is a
+    non-negative int32 for device sorts).  Collisions are part of the
     format's *encoder* behavior (they occupy candidate slots) but never its
     correctness: every candidate is length-verified."""
-    h24 = ((dword_all(buf) * np.uint32(2654435761)) >> np.uint32(8)).astype(np.int64) & 0xFFFFFF
-    return (cctx_all(buf).astype(np.int64) << 24) | h24
+    h23 = ((dword_all(buf) * np.uint32(2654435761)) >> np.uint32(8)).astype(np.int64) & 0x7FFFFF
+    return (cctx_all(buf).astype(np.int64) << 23) | h23

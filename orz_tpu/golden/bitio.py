@@ -72,6 +72,40 @@ class BitEncoder:
                 last_sym = sym
         self.encode_varint(0)
 
+    def append_bits_bulk(self, words, nbits: int) -> None:
+        """Splice a device-packed bit region (big-endian u32 words, bit 0 =
+        MSB of words[0]) into the stream at the current bit position.
+        Vectorized numpy shift-merge; used to join Pallas/XLA-packed item
+        payloads to host-written chunk headers."""
+        import numpy as np
+
+        nbits = int(nbits)
+        if nbits <= 0:
+            return
+        words = np.ascontiguousarray(words[: (nbits + 31) // 32], dtype=np.uint32)
+        full = nbits // 32
+        rem = nbits % 32
+        self._reserve32()
+        r = self._len  # residue bits currently staged (< 32)
+        if full:
+            if r == 0:
+                self.out += words[:full].astype(">u4").tobytes()
+            else:
+                w = words[:full].astype(np.uint64)
+                heads = np.empty(full, dtype=np.uint64)
+                heads[0] = self._val & ((1 << r) - 1)
+                heads[1:] = w[:-1] & ((1 << r) - 1)
+                merged = ((heads << np.uint64(32 - r)) | (w >> np.uint64(r))).astype(
+                    np.uint32
+                )
+                self.out += merged.astype(">u4").tobytes()
+                self._val = int(words[full - 1]) & ((1 << r) - 1)
+        if rem:
+            last = (int(words[full]) >> (32 - rem)) & ((1 << rem) - 1)
+            # _put flushes through _reserve32 on the next call; stage directly
+            self._reserve32()
+            self._put(rem, last)
+
     def finish(self) -> bytes:
         """Flush: pad the residue to a full 32-bit word (reference
         src/coder.rs:75-82,209-216)."""

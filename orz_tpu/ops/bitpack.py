@@ -1,0 +1,112 @@
+"""Phase 4b — parallel bitstream packing by prefix sum + word scatter.
+
+The reference packs bits through a sequential 64-bit staging buffer
+(reference src/coder.rs:159-216).  Here every item's bit cost is known up
+front, so an exclusive prefix sum yields each item's absolute bit offset and
+all items scatter their (up to three) bit fields into big-endian u32 words
+independently — field bit ranges are disjoint, so scatter-ADD is bitwise OR.
+
+Each entropy chunk packs into its own word region starting at bit 0; the
+host splices regions after the chunk headers (varints + serialized tables,
+a few hundred bits) with a vectorized shift-merge
+(orz_tpu/golden/bitio.py append_bits_bulk).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Packed(NamedTuple):
+    words: jnp.ndarray  # (C_max, W_cap) uint32, big-endian bit order
+    bitlen: jnp.ndarray  # (C_max,) int32 payload bits per chunk
+    n_items: jnp.ndarray  # (C_max,) int32
+
+
+def _scatter_field(words, flat_word_idx, val_u32, t, s):
+    """OR the t-bit value into the stream at word w / in-word bit offset s.
+    t <= 16, s in [0, 32): the field spans at most two words."""
+    over = t + s - 32  # bits spilling into the second word
+    c0 = jnp.where(
+        over > 0,
+        val_u32 >> jnp.clip(over, 0, 31).astype(jnp.uint32),
+        val_u32 << jnp.clip(-over, 0, 31).astype(jnp.uint32),
+    )
+    c1 = jnp.where(
+        over > 0,
+        val_u32 << jnp.clip(32 - over, 0, 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+    nw = words.shape[0]
+    words = words.at[jnp.clip(flat_word_idx, 0, nw - 1)].add(jnp.where(t > 0, c0, 0))
+    words = words.at[jnp.clip(flat_word_idx + 1, 0, nw - 1)].add(
+        jnp.where(over > 0, c1, 0)
+    )
+    return words
+
+
+def pack_items(
+    coded: jnp.ndarray,  # (M,) post-symrank symbol
+    after_literal: jnp.ndarray,
+    kind: jnp.ndarray,
+    robitlen: jnp.ndarray,
+    robits: jnp.ndarray,
+    eml: jnp.ndarray,
+    chunk_id: jnp.ndarray,  # (M,)
+    n_items: jnp.ndarray,  # scalar
+    codesA: jnp.ndarray,  # (C_max, 389) canonical codes, after_literal=1
+    lensA: jnp.ndarray,
+    codesB: jnp.ndarray,  # (C_max, 389) after_literal=0
+    lensB: jnp.ndarray,
+    codesC: jnp.ndarray,  # (C_max, 389 padded; first 240 used)
+    lensC: jnp.ndarray,
+    w_cap: int,
+    lenid_escape: int,
+) -> Packed:
+    m = coded.shape[0]
+    c_max = codesA.shape[0]
+    valid = jnp.arange(m, dtype=jnp.int32) < n_items
+    cid = jnp.where(valid, chunk_id, c_max - 1)
+
+    code1 = jnp.where(
+        after_literal == 1, codesA[cid, coded], codesB[cid, coded]
+    )
+    len1 = jnp.where(after_literal == 1, lensA[cid, coded], lensB[cid, coded])
+    is_match = kind == 2
+    has_ext = is_match & (eml >= lenid_escape)
+    emlc = jnp.clip(eml, 0, codesC.shape[1] - 1)
+    code3 = jnp.where(has_ext, codesC[cid, emlc], 0)
+    len3 = jnp.where(has_ext, lensC[cid, emlc], 0)
+    len2 = jnp.where(is_match, robitlen, 0)
+    code2 = jnp.where(is_match, robits, 0)
+
+    t_total = jnp.where(valid, len1 + len2 + len3, 0)
+    off_global = jnp.cumsum(t_total) - t_total  # exclusive prefix sum
+
+    # base = min over chunk items; empty chunks keep huge sentinel, unused
+    chunk_base = jnp.full(c_max, jnp.int32(2**30)).at[cid].min(
+        jnp.where(valid, off_global.astype(jnp.int32), 2**30), mode="drop"
+    )
+    off = off_global.astype(jnp.int32) - chunk_base[cid]
+
+    bitlen = jnp.zeros(c_max, jnp.int32).at[cid].add(t_total.astype(jnp.int32))
+    items_per_chunk = jnp.zeros(c_max, jnp.int32).at[cid].add(
+        jnp.where(valid, 1, 0)
+    )
+
+    words = jnp.zeros(c_max * w_cap, jnp.uint32)
+    for code, t, field_off in (
+        (code1, len1, 0),
+        (code2, len2, len1),
+        (code3, len3, len1 + len2),
+    ):
+        o = off + field_off
+        widx = cid * w_cap + (o >> 5)
+        s = o & 31
+        tt = jnp.where(valid, t, 0)
+        words = _scatter_field(words, widx, code.astype(jnp.uint32), tt, s)
+
+    return Packed(words.reshape(c_max, w_cap), bitlen, items_per_chunk)

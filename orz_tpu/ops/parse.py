@@ -1,0 +1,118 @@
+"""Phase 2 — parse decisions and item extraction.
+
+The reference's parse loop advances a cursor by a data-dependent amount per
+item (reference src/lz.rs:131-235) — inherently serial.  In OTZ every
+position's decision ("IF an item started here, what would it be?") is a pure
+function of phase-1 arrays, so the item sequence is the orbit of
+next(p) = p + len(p) from the segment start: a functional-graph traversal,
+extracted in O(log n) parallel steps by pointer doubling (item i's position
+is the i-fold composition of `next`, built from jump tables J_{2^k}).
+
+Oracle: orz_tpu/device/refcodec.py parse_ref.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orz_tpu.device.spec import (
+    LAZY_LEN_CAP,
+    LZ_LENID_SIZE,
+    LZ_MATCH_MIN_LEN,
+    PAD_FRONT,
+    ROBITS_CHEAP,
+    ROID_ENC,
+    WORD_SYMBOL,
+)
+from orz_tpu.ops.analyze import Analysis, _shift_left
+
+ROID_ENC_J = jnp.asarray(ROID_ENC)  # (4094, 3): roid, robitlen, robits
+
+
+class Decisions(NamedTuple):
+    kind: jnp.ndarray  # per position: 0 literal, 1 word, 2 match
+    length: jnp.ndarray  # per position item length
+    nxt: jnp.ndarray  # next item-start position (fixed point at end)
+
+
+class Items(NamedTuple):
+    start: jnp.ndarray  # (M,) item start positions (== end when past last)
+    n_items: jnp.ndarray  # scalar
+    kind: jnp.ndarray
+    length: jnp.ndarray
+    symbol: jnp.ndarray  # pre-symrank symbol
+    sr_ctx: jnp.ndarray
+    sr_unlikely: jnp.ndarray
+    after_literal: jnp.ndarray
+    robitlen: jnp.ndarray
+    robits: jnp.ndarray
+    eml: jnp.ndarray
+
+
+def decisions(an: Analysis, seg_len: jnp.ndarray, n: int) -> Decisions:
+    """Per-position parse decisions (mirrors refcodec parse_ref rules)."""
+    p = jnp.arange(n, dtype=jnp.int32)
+    end = PAD_FRONT + seg_len
+    is_m = an.bestlen >= LZ_MATCH_MIN_LEN
+    robitlen = ROID_ENC_J[jnp.clip(an.bestro, 0, ROID_ENC_J.shape[0] - 1), 1]
+    lazy_len1 = an.bestlen + 1 + (robitlen < ROBITS_CHEAP)
+    bl1 = _shift_left(an.bestlen, 1)
+    bl2 = _shift_left(an.bestlen, 2)
+    short = an.bestlen < LAZY_LEN_CAP
+    lazy1 = is_m & short & (bl1 >= lazy_len1)
+    lazy2 = is_m & short & (bl2 >= lazy_len1 - an.wordmatch.astype(jnp.int32))
+    m_emit = is_m & ~lazy1 & ~lazy2
+    w_emit = ~m_emit & an.wordmatch & ~lazy1 & (p + 2 <= end)
+    kind = jnp.where(m_emit, 2, jnp.where(w_emit, 1, 0)).astype(jnp.int32)
+    length = jnp.where(m_emit, an.bestlen, jnp.where(w_emit, 2, 1)).astype(jnp.int32)
+    nxt = jnp.minimum(p + length, end).astype(jnp.int32)
+    return Decisions(kind, length, nxt)
+
+
+def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.ndarray) -> Items:
+    """Pointer-doubling orbit extraction: start[i] = next^i(PAD_FRONT)."""
+    n = dec.nxt.shape[0]
+    m = n - PAD_FRONT  # max possible items
+    end = PAD_FRONT + seg_len
+    k_steps = max(1, (m - 1).bit_length())
+
+    i_idx = jnp.arange(m, dtype=jnp.int32)
+    pos = jnp.full((m,), PAD_FRONT, dtype=jnp.int32)
+    jump = dec.nxt
+    for k in range(k_steps):
+        bit = (i_idx >> k) & 1
+        pos = jnp.where(bit == 1, jump[pos], pos)
+        if k + 1 < k_steps:
+            jump = jump[jump]
+
+    valid = pos < end
+    n_items = valid.sum().astype(jnp.int32)
+
+    start = pos
+    kind = jnp.where(valid, dec.kind[start], 0)
+    length = jnp.where(valid, dec.length[start], 0)
+    after_literal = jnp.concatenate(
+        [jnp.ones(1, jnp.int32), (kind[:-1] == 0).astype(jnp.int32)]
+    )
+    ro = an.bestro[start]
+    roid = ROID_ENC_J[ro, 0]
+    robitlen = jnp.where(kind == 2, ROID_ENC_J[ro, 1], 0)
+    robits = jnp.where(kind == 2, ROID_ENC_J[ro, 2], 0)
+    eml = jnp.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
+    lenid = jnp.minimum(eml, LZ_LENID_SIZE - 1)
+    symbol = jnp.where(
+        kind == 2,
+        256 + roid * LZ_LENID_SIZE + lenid,
+        jnp.where(kind == 1, WORD_SYMBOL, buf[start].astype(jnp.int32)),
+    )
+    sr_ctx = an.cctx[start] | (after_literal << 8)
+    sr_unlikely = an.pred[start] & 0xFF
+    return Items(
+        start, n_items, kind, length, symbol, sr_ctx, sr_unlikely,
+        after_literal, robitlen, robits, eml,
+    )

@@ -1,0 +1,113 @@
+"""Benchmark harness: OTZ device encode throughput on real hardware.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Baseline: the reference orz -l2 encodes enwik8 at ~29.8 MB/s on the CI x86
+runner (README.md:43, 3.360 s / 100 MB).  vs_baseline is our single-chip
+device encode throughput over that number.  Round-trip is verified with the
+native decoder and the compressed size is compared against the format-exact
+native ORZ codec at the same level (both printed on stderr).
+
+Env knobs: BENCH_MB (corpus MiB, default 32), BENCH_LEVEL (default 2),
+BENCH_SEGMENT_MB (default 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ORZ_L2_BASELINE_GBPS = 100.0 / 3.360 / 1000.0  # reference README.md:43
+
+
+def make_corpus(n: int) -> bytes:
+    """Deterministic text-heavy corpus with long-range repetition (enwik-like
+    mix of natural-language tokens, markup, and structured runs)."""
+    rng = np.random.default_rng(0xE4A1C8)
+    vocab = (
+        "the of and in to a is was for on as by with from at it an be this "
+        "that which were are has had have not its also or new first one two "
+        "compression entropy symbol ranking offset huffman kernel lattice "
+        "[[link]] {{template}} &lt;ref&gt; == History == * item #redirect"
+    ).split()
+    out = bytearray()
+    while len(out) < n:
+        w = vocab[int(rng.integers(len(vocab)))]
+        out += w.encode()
+        out += b" " if rng.random() < 0.85 else b"\n"
+        r = rng.random()
+        if r < 0.03:
+            start = int(rng.integers(0, max(1, len(out) - 4096)))
+            out += out[start : start + int(rng.integers(64, 1024))]
+        elif r < 0.04:
+            out += bytes([int(rng.integers(256))]) * int(rng.integers(8, 64))
+    return bytes(out[:n])
+
+
+def main() -> int:
+    mb = int(os.environ.get("BENCH_MB", "32"))
+    level = int(os.environ.get("BENCH_LEVEL", "2"))
+    seg_mb = int(os.environ.get("BENCH_SEGMENT_MB", "8"))
+    segment_size = seg_mb << 20
+
+    import jax
+
+    from orz_tpu.device.container import tpu_decode_bytes, tpu_encode_bytes
+
+    dev = jax.devices()[0]
+    print(f"bench: device={dev}, corpus={mb} MiB, level={level}, "
+          f"segment={seg_mb} MiB", file=sys.stderr)
+
+    data = make_corpus(mb << 20)
+
+    # warm-up: compile the segment-shape bucket
+    warm = data[:segment_size] if len(data) >= segment_size else data
+    t0 = time.perf_counter()
+    tpu_encode_bytes(warm, level=level, segment_size=segment_size, num_streams=1)
+    print(f"bench: warm-up (compile) {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    comp = tpu_encode_bytes(data, level=level, segment_size=segment_size, num_streams=2)
+    dt = time.perf_counter() - t0
+    gbps = len(data) / dt / 1e9
+
+    t1 = time.perf_counter()
+    out = tpu_decode_bytes(comp)
+    dt_dec = time.perf_counter() - t1
+    if out != data:
+        print("bench: ROUND-TRIP FAILED", file=sys.stderr)
+        return 1
+
+    ratio = len(comp) / len(data)
+    print(f"bench: encode {gbps*1000:.1f} MB/s, decode {len(data)/dt_dec/1e6:.1f} MB/s, "
+          f"ratio {ratio*100:.2f}% ({len(comp)}/{len(data)})", file=sys.stderr)
+
+    # compressed-size parity vs the format-exact native ORZ codec (CPU)
+    try:
+        from orz_tpu.cfg import cfg_from_level
+        from orz_tpu.container import encode_bytes
+        from orz_tpu.native import NativeBackend
+
+        sample = data[: min(len(data), 8 << 20)]
+        orz_size = len(encode_bytes(sample, cfg_from_level(level), NativeBackend()))
+        otz_size = len(tpu_encode_bytes(sample, level=level, segment_size=segment_size))
+        print(f"bench: size vs orz l{level} on 8MiB sample: "
+              f"otz={otz_size} orz={orz_size} ({otz_size/orz_size*100:.2f}%)", file=sys.stderr)
+    except Exception as e:  # size check is informational
+        print(f"bench: orz size comparison skipped: {e}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"otz device encode throughput, 1 chip, level {level}",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / ORZ_L2_BASELINE_GBPS, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -29,6 +29,8 @@ def get_backend(name: str):
         from orz_tpu.native import NativeBackend
 
         return NativeBackend()
+    if name == "tpu":
+        return "tpu"  # device engine; handled by the ORZT container paths
     if name == "auto":
         from orz_tpu import default_backend
 
@@ -49,7 +51,7 @@ def main(argv=None) -> int:
     p_enc = sub.add_parser("encode", help="Encode")
     p_enc.add_argument("-s", "--silent", action="store_true", help="Run silently")
     p_enc.add_argument("-l", "--level", type=int, default=2, help="Set compression level (0..2)")
-    p_enc.add_argument("-b", "--backend", default="auto", help="codec backend: auto|native|golden")
+    p_enc.add_argument("-b", "--backend", default="auto", help="codec backend: auto|native|golden|tpu")
     p_enc.add_argument("-p", "--parallel", type=int, default=0, metavar="N",
                        help="block-parallel multi-stream container over N workers/devices")
     p_enc.add_argument("ipath", nargs="?", default=None, help="Source file name, default to stdin")
@@ -57,7 +59,7 @@ def main(argv=None) -> int:
 
     p_dec = sub.add_parser("decode", help="Decode")
     p_dec.add_argument("-s", "--silent", action="store_true", help="Run silently")
-    p_dec.add_argument("-b", "--backend", default="auto", help="codec backend: auto|native|golden")
+    p_dec.add_argument("-b", "--backend", default="auto", help="codec backend: auto|native|golden|tpu")
     p_dec.add_argument("ipath", nargs="?", default=None)
     p_dec.add_argument("opath", nargs="?", default=None)
 
@@ -74,21 +76,35 @@ def main(argv=None) -> int:
     try:
         fin, fout = _open_io(args.ipath, args.opath)
         if args.command == "encode":
-            cfg = cfg_from_level(args.level)
-            if args.parallel:
-                from orz_tpu.pcontainer import pencode
+            if backend == "tpu":
+                from orz_tpu.device.container import tpu_encode
 
-                pencode(fin, fout, cfg, backend, num_streams=args.parallel, progress=logger)
+                tpu_encode(fin, fout, level=args.level,
+                           num_streams=args.parallel or 2, progress=logger)
             else:
-                container.encode(CountRead(fin), CountWrite(fout), cfg, backend, logger)
+                cfg = cfg_from_level(args.level)
+                if args.parallel:
+                    from orz_tpu.pcontainer import pencode
+
+                    pencode(fin, fout, cfg, backend, num_streams=args.parallel, progress=logger)
+                else:
+                    container.encode(CountRead(fin), CountWrite(fout), cfg, backend, logger)
         else:
-            from orz_tpu.pcontainer import PARALLEL_MAGIC, pdecode
+            from orz_tpu.pcontainer import PARALLEL_MAGIC, TPU_MAGIC, pdecode
 
             head = fin.read(len(PARALLEL_MAGIC))
             stream = _PrefixedReader(head, fin)
-            if head == PARALLEL_MAGIC:
+            if head == TPU_MAGIC:
+                from orz_tpu.device.container import tpu_decode
+
+                tpu_decode(stream, fout, progress=logger)
+            elif head == PARALLEL_MAGIC:
+                if backend == "tpu":
+                    backend = get_backend("auto")
                 pdecode(stream, fout, backend, progress=logger)
             else:
+                if backend == "tpu":
+                    backend = get_backend("auto")
                 container.decode(CountRead(stream), CountWrite(fout), backend, logger)
         fout.flush()
     except (ValueError, EOFError) as e:

@@ -1,21 +1,20 @@
 """Block-data-parallel multi-stream container.
 
-The ORZ stream format is sequentially state-dependent end to end (symrank /
-word-model state flows through the whole stream), so the only parallel axis
-that leaves the chunk format untouched is across *independent streams*: the
-input is split into fixed-size segments, each compressed as a self-contained
-ORZ stream with fresh model state, then framed in file order.  This is the
-axis the TPU build scales over chips and hosts (see orz_tpu/parallel/).
+The ORZ/OTZ stream formats are sequentially state-dependent end to end
+(symrank / word-model state flows through the whole stream), so the parallel
+axis that leaves the segment format untouched is across *independent
+streams*: the input is split into fixed-size segments, each compressed
+self-contained with fresh model state, then framed in file order.  This is
+the axis the TPU build scales over chips and hosts (orz_tpu/parallel/).
 
-Wire format:
-    b"ORZP" 0x01
+Wire format (both engines):
+    magic (5 bytes)
     varint(segment_size)
-    repeat: varint(len(stream_i)) + stream_i      (orz streams, file order)
+    repeat: varint(len(stream_i)) + stream_i      (segments, file order)
     varint(0)
 
-Each stream_i is a complete single-stream ORZ payload (decodable by the
-reference orz binary on its own).  Segments are `segment_size` input bytes
-except the last.
+ORZP magic frames ORZ streams (each decodable by the reference orz binary);
+ORZT magic frames OTZ segments (TPU-encoded, orz_tpu/device/).
 """
 
 from __future__ import annotations
@@ -29,29 +28,22 @@ from orz_tpu.ioutil import CountRead, CountWrite, read_len, write_len
 from orz_tpu.progress import ProgressLogger, SilentProgressLogger
 
 PARALLEL_MAGIC = b"ORZP\x01"
+TPU_MAGIC = b"ORZT\x01"
+MAGIC_LEN = 5
 DEFAULT_SEGMENT_SIZE = 1 << 25  # 32 MiB
 
 
-def _encode_segment(data: bytes, cfg: LZCfg, backend) -> bytes:
-    return container.encode_bytes(data, cfg, backend)
-
-
-def _decode_segment(data: bytes, backend) -> bytes:
-    return container.decode_bytes(data, backend)
-
-
-def pencode(
+def pipe_encode(
     source,
     target,
-    cfg: LZCfg,
-    backend,
-    num_streams: int = 4,
-    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    encode_segment,  # bytes -> bytes
+    magic: bytes,
+    segment_size: int,
+    num_streams: int,
     progress: ProgressLogger | None = None,
 ) -> None:
-    """Compress into the multi-stream container with num_streams concurrent
-    workers (native codec calls release the GIL, so threads scale on
-    multi-core hosts; the device backend batches segments on-chip)."""
+    """Generic bounded pipeline: read segments, compress with at most
+    num_streams in flight, emit in file order."""
     progress = progress or SilentProgressLogger()
     progress.set_is_encode(True)
     if not isinstance(source, CountRead):
@@ -59,7 +51,7 @@ def pencode(
     if not isinstance(target, CountWrite):
         target = CountWrite(target)
 
-    target.write(PARALLEL_MAGIC)
+    target.write(magic)
     write_len(target, segment_size)
 
     def read_segment() -> bytes:
@@ -73,7 +65,6 @@ def pencode(
             remaining -= len(piece)
         return b"".join(chunks)
 
-    # bounded pipeline: keep at most num_streams segments in flight, emit in order
     with ThreadPoolExecutor(max_workers=max(num_streams, 1)) as pool:
         pending = []
         eof = False
@@ -83,7 +74,7 @@ def pencode(
                 if not seg:
                     eof = True
                     break
-                pending.append(pool.submit(_encode_segment, seg, cfg, backend))
+                pending.append(pool.submit(encode_segment, seg))
             if pending:
                 payload = pending.pop(0).result()
                 write_len(target, len(payload))
@@ -94,8 +85,15 @@ def pencode(
     progress.finish(source.count(), target.count())
 
 
-def pdecode(source, target, backend, num_streams: int = 4, progress: ProgressLogger | None = None) -> None:
-    """Decode the multi-stream container (magic already consumed or not)."""
+def pipe_decode(
+    source,
+    target,
+    decode_segment,  # bytes -> bytes
+    magic: bytes,
+    num_streams: int,
+    progress: ProgressLogger | None = None,
+) -> None:
+    """Generic parallel decode of the multi-stream container."""
     progress = progress or SilentProgressLogger()
     progress.set_is_encode(False)
     if not isinstance(source, CountRead):
@@ -103,8 +101,8 @@ def pdecode(source, target, backend, num_streams: int = 4, progress: ProgressLog
     if not isinstance(target, CountWrite):
         target = CountWrite(target)
 
-    magic = source.read(len(PARALLEL_MAGIC))
-    if magic != PARALLEL_MAGIC:
+    got = source.read(MAGIC_LEN)
+    if got != magic:
         raise ValueError("bad parallel container magic")
     _segment_size = read_len(source)
 
@@ -120,9 +118,38 @@ def pdecode(source, target, backend, num_streams: int = 4, progress: ProgressLog
                 payload = source.read(n)
                 if len(payload) != n:
                     raise EOFError("truncated segment")
-                pending.append(pool.submit(_decode_segment, payload, backend))
+                pending.append(pool.submit(decode_segment, payload))
             if pending:
                 target.write(pending.pop(0).result())
                 progress.log(source.count(), target.count())
 
     progress.finish(source.count(), target.count())
+
+
+# --- ORZP: orz-format streams, host codec backends -------------------------
+
+
+def pencode(
+    source,
+    target,
+    cfg: LZCfg,
+    backend,
+    num_streams: int = 4,
+    segment_size: int = DEFAULT_SEGMENT_SIZE,
+    progress: ProgressLogger | None = None,
+) -> None:
+    """Compress into the ORZP container with num_streams concurrent workers
+    (native codec calls release the GIL, so threads scale on multi-core)."""
+    pipe_encode(
+        source, target,
+        lambda seg: container.encode_bytes(seg, cfg, backend),
+        PARALLEL_MAGIC, segment_size, num_streams, progress,
+    )
+
+
+def pdecode(source, target, backend, num_streams: int = 4, progress: ProgressLogger | None = None) -> None:
+    pipe_decode(
+        source, target,
+        lambda payload: container.decode_bytes(payload, backend),
+        PARALLEL_MAGIC, num_streams, progress,
+    )

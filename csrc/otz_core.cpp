@@ -22,9 +22,9 @@ namespace {
 constexpr int PAD_FRONT = 16;
 constexpr int PAD_TAIL = 240 + 32;
 constexpr int NUM_CONTEXTS = 256;
-constexpr int RING = 4094;
-constexpr int N_SYM = 389;
-constexpr int WORD_SYMBOL = 388;
+constexpr int RING = 32766;
+constexpr int N_SYM = 425;
+constexpr int WORD_SYMBOL = 424;
 constexpr int LENID_SIZE = 6;
 constexpr int MATCH_MIN_LEN = 4;
 constexpr int MATCH_MAX_LEN = 240;
@@ -193,9 +193,11 @@ struct SymRank {
 };
 
 // ROID schedule (shared with ORZ, reference src/lz.rs:494-534)
+constexpr int ROID_SIZE = 28;
+
 struct Roid {
-  int base[22];
-  int bits[22];
+  int base[ROID_SIZE];
+  int bits[ROID_SIZE];
   Roid() {
     int b = 0, id = 0;
     while (b < RING) {
@@ -300,7 +302,7 @@ struct Decoder {
         } else {
           int roid = (v - 256) / LENID_SIZE;
           int lenid = (v - 256) % LENID_SIZE;
-          if (roid >= 22) return -8;
+          if (roid >= ROID_SIZE) return -8;
           int ro = ROID.base[roid] + (int)bd.raw(ROID.bits[roid]);
           int eml = (lenid == LENID_SIZE - 1) ? tabC.decode(bd) : lenid;
           int match_len = eml + MATCH_MIN_LEN;

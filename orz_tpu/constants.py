@@ -66,22 +66,25 @@ HASH_DWORD_ADDS = (797, 79797, 7979797, 797979797)
 # ---------------------------------------------------------------------------
 
 
-def _build_roid_tables():
+def _build_roid_tables(ring_size: int = LZ_MF_BUCKET_ITEM_SIZE):
     enc = []  # reduced_offset -> (roid, robitlen, robits)
     dec = []  # roid -> (robase, robitlen)
     base = 0
     current_id = 0
-    while base < LZ_MF_BUCKET_ITEM_SIZE:
+    while base < ring_size:
         bit_len = current_id // 2
         dec.append((base, bit_len))
         rest = 0
         while rest != (1 << bit_len):
-            if base < LZ_MF_BUCKET_ITEM_SIZE:
+            if base < ring_size:
                 enc.append((current_id, bit_len, rest))
                 base += 1
             rest += 1
         current_id += 1
     return tuple(enc), tuple(dec)
+
+
+build_roid_tables = _build_roid_tables  # parameterized form for OTZ
 
 
 LZ_ROID_ENCODING_ARRAY, LZ_ROID_DECODING_ARRAY = _build_roid_tables()

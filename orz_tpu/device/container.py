@@ -9,12 +9,13 @@ SURVEY.md section 7, hard part 3).
 
 from __future__ import annotations
 
-from orz_tpu.device.pipeline import encode_segment_device
 from orz_tpu.device.spec import CHUNK_INPUT_DEFAULT
+from orz_tpu.ioutil import CountRead, CountWrite, read_len, write_len
 from orz_tpu.pcontainer import TPU_MAGIC, pipe_decode, pipe_encode
-from orz_tpu.progress import ProgressLogger
+from orz_tpu.progress import ProgressLogger, SilentProgressLogger
 
 DEFAULT_SEGMENT_SIZE = 1 << 23  # 8 MiB
+DEFAULT_BATCH = 4  # segments batched per device dispatch
 
 
 def _decode_segment(payload: bytes) -> bytes:
@@ -32,16 +33,60 @@ def tpu_encode(
     source,
     target,
     level: int = 2,
-    num_streams: int = 2,
+    num_streams: int = 2,  # kept for API parity; batching replaces threads
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     chunk_input: int = CHUNK_INPUT_DEFAULT,
+    batch: int = DEFAULT_BATCH,
     progress: ProgressLogger | None = None,
 ) -> None:
-    pipe_encode(
-        source, target,
-        lambda seg: encode_segment_device(seg, level=level, chunk_input=chunk_input),
-        TPU_MAGIC, segment_size, num_streams, progress,
-    )
+    """Stream-encode into the ORZT container, batching `batch` segments per
+    device dispatch: the symrank scan and all sorts run lockstep across the
+    batch, amortizing per-step loop overhead over B segments of lanes."""
+    del num_streams
+    from orz_tpu.parallel.mesh import mesh_encode_segments
+
+    progress = progress or SilentProgressLogger()
+    progress.set_is_encode(True)
+    if not isinstance(source, CountRead):
+        source = CountRead(source)
+    if not isinstance(target, CountWrite):
+        target = CountWrite(target)
+
+    target.write(TPU_MAGIC)
+    write_len(target, segment_size)
+
+    def read_segment() -> bytes:
+        chunks = []
+        remaining = segment_size
+        while remaining > 0:
+            piece = source.read(min(remaining, 1 << 22))
+            if not piece:
+                break
+            chunks.append(piece)
+            remaining -= len(piece)
+        return b"".join(chunks)
+
+    eof = False
+    while not eof:
+        segments = []
+        while len(segments) < max(batch, 1):
+            seg = read_segment()
+            if not seg:
+                eof = True
+                break
+            segments.append(seg)
+        if segments:
+            n_real = len(segments)
+            # pad the batch with empty segments so jit sees one batch shape
+            segments += [b""] * (max(batch, 1) - n_real)
+            payloads = mesh_encode_segments(segments, level=level, chunk_input=chunk_input)
+            for payload in payloads[:n_real]:
+                write_len(target, len(payload))
+                target.write(payload)
+            progress.log(source.count(), target.count())
+
+    write_len(target, 0)
+    progress.finish(source.count(), target.count())
 
 
 def tpu_decode(source, target, num_streams: int = 8, progress: ProgressLogger | None = None) -> None:

@@ -18,8 +18,8 @@ reference src/coder.rs:159-216):
     9 bits x num_counted                    # (reference src/lz.rs:238-265)
     per chunk (ceil(raw_len / chunk_input) of them):
         varint n_items
-        huffman table A (389 syms, after_literal=1)
-        huffman table B (389 syms, after_literal=0)
+        huffman table A (425 syms, after_literal=1)
+        huffman table B (425 syms, after_literal=0)
         huffman table C (240 syms, match length extension)
         per item: huff A/B code; [match] robits raw bits;
                   [lenid == 5] huff C code
@@ -34,11 +34,14 @@ Model semantics (all bytes-only; b is the padded buffer, data in
         is word[h2(p-1)].
     rings: EVERY position q is inserted into ring[cctx(q)].  The reduced
         offset of q seen from p (same context c) is the number of
-        context-c positions strictly between q and p; it must be < 4094.
+        context-c positions strictly between q and p; it must be < RING
+        (32766; extended ROID schedule, see spec.py).
     candidates(p): among the last D positions q < p with
         match_key(q) == match_key(p) (cctx + hashed dword), keep those with
-        reduced offset < 4094; score by (lcp16, then recency), extend the
-        winner to LZ_MATCH_MAX_LEN, cap by segment end; a match needs >= 4.
+        reduced offset < RING whose 16-byte LCP meets the offset's price
+        gate (min_match_len_for_ro); score by (lcp16, then recency), extend
+        the winner to LZ_MATCH_MAX_LEN, cap by segment end; the final match
+        must still meet the gate.
     parse (mirrors the reference lazy heuristics, src/lz.rs:113-118):
         if bestlen(p) >= 4:
             if bestlen(p) < 120:
@@ -49,7 +52,7 @@ Model semantics (all bytes-only; b is the padded buffer, data in
         no match: WORD if wordmatch(p) and not (bestlen(p) >= 4 and lazy1)
                   and p+2 <= end, else LITERAL
     items: literal -> symbol b[p], len 1, after_literal := True
-           word    -> symbol 388,  len 2, after_literal := False
+           word    -> symbol WORD_SYMBOL (424), len 2, after_literal := False
            match   -> symbol 256 + roid*6 + min(5, len-4), len bytes,
                       after_literal := False
     symrank context = cctx(p) | after_literal << 8 (state at the item,
@@ -89,6 +92,7 @@ from orz_tpu.device.spec import (
     cctx_all,
     h2_all,
     match_key_all,
+    min_match_len_for_ro,
     n_chunks_for,
 )
 from orz_tpu.golden.bitio import BitDecoder, BitEncoder
@@ -166,6 +170,8 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
                 if ro >= RING:
                     continue
                 l16 = _lcp(buf, q, p, 16)
+                if l16 < min_match_len_for_ro(ro):
+                    continue  # far offsets must pay for their raw bits
                 if l16 > best16:
                     best16, bro = l16, ro
                     if l16 >= 16:
@@ -174,7 +180,7 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
                         blen = l16
         if bro >= 0:
             blen = min(blen, end - p)
-            if blen >= LZ_MATCH_MIN_LEN:
+            if blen >= min_match_len_for_ro(bro):
                 bestlen[p] = blen
                 bestro[p] = bro
 
@@ -271,7 +277,7 @@ def census_ref(symbols: np.ndarray):
 
 def symrank_ref(items: Items, init_perm: np.ndarray) -> np.ndarray:
     """Sequential symrank transform over all items (oracle for ops/symrank)."""
-    sr = SymRankState()
+    sr = SymRankState(n_symbols=SYMRANK_NUM_SYMBOLS)
     sr.init_all(init_perm)
     coded = np.empty(len(items.start), dtype=np.int64)
     for i in range(len(items.start)):
@@ -369,7 +375,7 @@ def decode_segment_ref(payload: bytes) -> bytes:
         seen[s] = True
     perm.extend(s for s in range(SYMRANK_NUM_SYMBOLS) if not seen[s])
 
-    sr = SymRankState()
+    sr = SymRankState(n_symbols=SYMRANK_NUM_SYMBOLS)
     sr.init_all(np.asarray(perm, dtype=np.int64))
     words = np.zeros(WORD_TABLE_SIZE, dtype=np.int64)
     ring = np.zeros((NUM_CONTEXTS, RING), dtype=np.int64)

@@ -13,12 +13,8 @@ from orz_tpu.constants import (
     LZ_LENID_SIZE,
     LZ_MATCH_MAX_LEN,
     LZ_MATCH_MIN_LEN,
-    LZ_MF_BUCKET_ITEM_SIZE,
-    LZ_ROID_DECODING_ARRAY,
-    LZ_ROID_ENCODING_ARRAY,
-    SYMRANK_NUM_SYMBOLS,
-    WORD_SYMBOL,
     WORD_TABLE_SIZE,
+    build_roid_tables,
 )
 
 OTZ_MAGIC = b"OTZ1"
@@ -31,9 +27,29 @@ PAD_FRONT = 16
 # 3 past that, word-model values 2 past.
 PAD_TAIL = LZ_MATCH_MAX_LEN + 32
 
-RING = LZ_MF_BUCKET_ITEM_SIZE  # 4094 reachable reduced offsets (ROID table)
+# OTZ inserts EVERY position into the context rings (bytes-only state), so
+# entries are ~8x denser than orz's item starts; the reduced-offset space is
+# widened to compensate: the reference ROID schedule (bitlen = roid // 2,
+# reference src/lz.rs:494-534) is continued from 22 ids / 4094 offsets to
+# 28 ids / 32766 offsets, reaching comparable history per context.
+RING = 32766  # reachable reduced offsets
+OTZ_ROID_SIZE = 28
 NUM_CONTEXTS = 256  # hash1-style byte contexts
+SYMRANK_NUM_SYMBOLS = 256 + OTZ_ROID_SIZE * LZ_LENID_SIZE + 1  # 425
+WORD_SYMBOL = SYMRANK_NUM_SYMBOLS - 1  # 424
 CHUNK_INPUT_DEFAULT = 1 << 21  # input bytes per entropy chunk (own tables)
+
+# price gate: far reduced offsets cost 11-13 raw bits, so a minimum match
+# length scales with offset distance (near orz's implicit pricing via its
+# sparser rings)
+FAR_RO_1 = 4094  # beyond the reference's span: require len >= 6
+FAR_RO_2 = 16382  # distant half of the extended span: require len >= 8
+
+
+def min_match_len_for_ro(ro):
+    """Minimum acceptable match length given the reduced offset (works for
+    numpy scalars and jnp arrays)."""
+    return LZ_MATCH_MIN_LEN + 2 * (ro >= FAR_RO_1) + 2 * (ro >= FAR_RO_2)
 
 # Max candidate depth per level: with exact-key grouping every candidate
 # shares the hashed dword, so depths are smaller than orz's chain-walk depths
@@ -47,10 +63,11 @@ LEVEL_CANDIDATES = {0: 4, 1: 8, 2: 16}
 LAZY_LEN_CAP = LZ_MATCH_MAX_LEN // 2  # 120
 ROBITS_CHEAP = 8  # robitlen < 8 counts as a "cheap" offset in lazy_len1
 
-# numpy copies of the ROID schedule (shared with ORZ, reference
-# src/lz.rs:494-534): reduced_offset -> (roid, robitlen, robits)
-ROID_ENC = np.asarray(LZ_ROID_ENCODING_ARRAY, dtype=np.int32)
-ROID_DEC = np.asarray(LZ_ROID_DECODING_ARRAY, dtype=np.int32)
+# extended ROID schedule: reduced_offset -> (roid, robitlen, robits)
+_enc, _dec = build_roid_tables(RING)
+ROID_ENC = np.asarray(_enc, dtype=np.int32)
+ROID_DEC = np.asarray(_dec, dtype=np.int32)
+assert len(ROID_ENC) == RING and len(ROID_DEC) == OTZ_ROID_SIZE
 
 _ALNUM = np.zeros(256, dtype=np.int32)
 for _b in range(256):

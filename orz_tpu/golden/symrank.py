@@ -21,11 +21,16 @@ _TOP = SYMRANK_NUM_SYMBOLS - 1  # 388: escape code for the unlikely symbol
 
 
 class SymRankState:
-    """State of all 512 symbol-ranking contexts."""
+    """State of all symbol-ranking contexts.
 
-    def __init__(self):
-        n = SYMRANK_NUM_SYMBOLS
-        c = SYMRANK_NUM_CONTEXTS
+    n_symbols defaults to the ORZ alphabet (389); the OTZ device format uses
+    the same transform over its extended 425-symbol alphabet."""
+
+    def __init__(self, n_symbols: int = SYMRANK_NUM_SYMBOLS, n_contexts: int = SYMRANK_NUM_CONTEXTS):
+        n = n_symbols
+        c = n_contexts
+        self.n_symbols = n_symbols
+        self.top = n_symbols - 1
         self.value_array = np.zeros((c, n), dtype=np.int64)
         self.index_array = np.zeros((c, n), dtype=np.int64)
         self.cnt = np.zeros(c, dtype=np.int64)
@@ -37,14 +42,14 @@ class SymRankState:
         adaptation counters (reference src/lz.rs:258-264)."""
         va = np.asarray(value_array, dtype=np.int64)
         ia = np.zeros_like(va)
-        ia[va] = np.arange(SYMRANK_NUM_SYMBOLS, dtype=np.int64)
+        ia[va] = np.arange(self.n_symbols, dtype=np.int64)
         self.value_array[:] = va
         self.index_array[:] = ia
         self.cnt[:] = 0
         self.idx_sum[:] = 1000000
 
     def _update(self, ctx: int, v: int, i: int) -> None:
-        if self.cnt[ctx] > SYMRANK_NUM_SYMBOLS:
+        if self.cnt[ctx] > self.n_symbols:
             self.cnt[ctx] = self.cnt[ctx] * 9 // 10
             self.idx_sum[ctx] = self.idx_sum[ctx] * 9 // 10
         self.cnt[ctx] += 1
@@ -83,12 +88,12 @@ class SymRankState:
         iunlikely = int(ia[vunlikely])
         self._update(ctx, v, i)
         if i == iunlikely:
-            return _TOP
+            return self.top
         return i - (1 if i > iunlikely else 0)
 
     def decode(self, ctx: int, i: int, vunlikely: int) -> int:
         iunlikely = int(self.index_array[ctx][vunlikely])
-        if i == _TOP:
+        if i == self.top:
             i = iunlikely
         else:
             i = i + (0 if i < iunlikely else 1)

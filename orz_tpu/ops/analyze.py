@@ -28,6 +28,7 @@ from orz_tpu.device.spec import (
     PAD_FRONT,
     RING,
     _ALNUM,
+    min_match_len_for_ro,
 )
 from orz_tpu.ops.groups import group_prev_from_sorted, group_rank_from_sorted, sort_by_key
 
@@ -158,6 +159,7 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
         x2 = _gather_dwords(ba.dw, q, 8) ^ q2
         x3 = _gather_dwords(ba.dw, q, 12) ^ q3
         lcp16, _ = _lcp_block(x0, x1, x2, x3)
+        ok = ok & (lcp16 >= min_match_len_for_ro(ro))  # far-offset price gate
         score = jnp.where(ok, lcp16 * 64 + (depth - j), -1)
         better = score > best_score  # strict: ties keep the more recent j
         best_score = jnp.maximum(best_score, score)
@@ -184,7 +186,7 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
         cur, alive = ext_round(k, (cur, alive))
 
     blen = jnp.minimum(jnp.minimum(cur, LZ_MATCH_MAX_LEN), end - p)
-    has = (best_q >= 0) & (blen >= LZ_MATCH_MIN_LEN) & valid
+    has = (best_q >= 0) & (blen >= min_match_len_for_ro(best_ro)) & valid
     bestlen = jnp.where(has, blen, 0)
     bestro = jnp.where(has, best_ro, 0)
     return Analysis(ba.cctx, rank, pred, wordmatch, bestlen, bestro)

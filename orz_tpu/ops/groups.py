@@ -37,7 +37,9 @@ def group_rank_from_sorted(sk: jnp.ndarray, spos: jnp.ndarray) -> jnp.ndarray:
     first = jnp.concatenate([jnp.ones(1, dtype=bool), sk[1:] != sk[:-1]])
     group_start = lax.cummax(jnp.where(first, idx, 0))
     rank_sorted = idx - group_start
-    return jnp.zeros(n, dtype=jnp.int32).at[spos].set(rank_sorted)
+    return jnp.zeros(n, dtype=jnp.int32).at[spos].set(
+        rank_sorted, unique_indices=True
+    )
 
 
 def group_prev_from_sorted(sk: jnp.ndarray, spos: jnp.ndarray, j: int) -> jnp.ndarray:
@@ -47,4 +49,4 @@ def group_prev_from_sorted(sk: jnp.ndarray, spos: jnp.ndarray, j: int) -> jnp.nd
     same = jnp.concatenate([jnp.zeros(j, dtype=bool), sk[j:] == sk[:-j]])
     cand = jnp.concatenate([jnp.full(j, -1, jnp.int32), spos[:-j]])
     prev_sorted = jnp.where(same, cand, -1)
-    return jnp.full(n, -1, jnp.int32).at[spos].set(prev_sorted)
+    return jnp.full(n, -1, jnp.int32).at[spos].set(prev_sorted, unique_indices=True)

@@ -82,7 +82,12 @@ def transform(
         i = ia[g, sym]
         iu = ia[g, unlik]
         coded = jnp.where(i == iu, TOP, i - (i > iu))
-        out = out.at[jnp.where(has, item, m)].set(coded, mode="drop")
+        # inactive lanes write to unique out-of-bounds slots (m+g) so every
+        # scatter in this loop can promise unique indices — without the
+        # promise XLA must serialize the 512 updates
+        out = out.at[jnp.where(has, item, m + g)].set(
+            coded, mode="drop", unique_indices=True
+        )
 
         # update (reference src/symrank.rs:61-97)
         decay = cnt > SYMRANK_NUM_SYMBOLS
@@ -102,13 +107,13 @@ def transform(
         ni1 = jnp.where(d == 1, i, next_i + d // 2)
         nv1 = jnp.where(d == 1, va[g, ni2], va[g, ni1])
         nv2 = jnp.where(d == 1, nv1, va[g, ni2])
-        gw = jnp.where(do, g, NCTX)
-        va = va.at[gw, i].set(nv1, mode="drop")
-        va = va.at[gw, ni1].set(nv2, mode="drop")
-        va = va.at[gw, ni2].set(sym, mode="drop")
-        ia = ia.at[gw, nv1].set(i, mode="drop")
-        ia = ia.at[gw, nv2].set(ni1, mode="drop")
-        ia = ia.at[gw, sym].set(ni2, mode="drop")
+        gw = jnp.where(do, g, NCTX + g)  # unique dropped rows when inactive
+        va = va.at[gw, i].set(nv1, mode="drop", unique_indices=True)
+        va = va.at[gw, ni1].set(nv2, mode="drop", unique_indices=True)
+        va = va.at[gw, ni2].set(sym, mode="drop", unique_indices=True)
+        ia = ia.at[gw, nv1].set(i, mode="drop", unique_indices=True)
+        ia = ia.at[gw, nv2].set(ni1, mode="drop", unique_indices=True)
+        ia = ia.at[gw, sym].set(ni2, mode="drop", unique_indices=True)
 
         cnt = jnp.where(has, cnt3, cnt)
         isum = jnp.where(has, isum3, isum)

@@ -2,9 +2,11 @@ import os
 import sys
 
 # Force the CPU backend with 8 virtual devices for all tests so multi-chip
-# sharding paths are exercised without TPU hardware.  Must run before jax
-# is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# sharding paths are exercised without TPU hardware.  Must run before jax is
+# imported anywhere, and must OVERRIDE the environment: the machine image
+# pre-sets JAX_PLATFORMS=axon (remote TPU tunnel), which would silently route
+# every test's jit through one real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

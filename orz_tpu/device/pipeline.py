@@ -32,6 +32,9 @@ from orz_tpu.device.spec import (
 )
 from orz_tpu.golden.bitio import BitEncoder
 from orz_tpu.ops.analyze import analyze
+from orz_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()  # device programs are huge; cache them on disk
 from orz_tpu.ops.bitpack import Packed, pack_items
 from orz_tpu.ops.huffman import canonical_codes, pm_code_lens
 from orz_tpu.ops.parse import decisions, extract_items

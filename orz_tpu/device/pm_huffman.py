@@ -1,4 +1,4 @@
-"""Length-limited optimal Huffman code lengths via package-merge.
+"""Length-limited optimal Huffman code lengths via boundary package-merge.
 
 The reference builds a Huffman tree with a heap and, when the depth exceeds
 15, halves all weights and rebuilds (reference src/huffman.rs:27-111) — a
@@ -7,6 +7,11 @@ sequential, data-dependent loop.  Package-merge (Larmore & Hirschberg) gives
 fully vectorizable, so the numpy reference here and the jitted JAX twin
 (orz_tpu/ops/huffman.py) run the same algorithm and must produce identical
 lengths (ties are fixed by a stable sort with leaves listed before packages).
+
+Boundary counting form: only item VALUES and a per-level count of leading
+leaves are needed.  Walking levels top-down with t_L = 2n'-2 items taken,
+k_l = leaves among the first t_l, t_{l-1} = 2 (t_l - k_l); the code length
+of the rank-r leaf is #{l : r < k_l}.
 
 The resulting lengths satisfy Kraft equality, so the canonical code
 assignment (reference src/huffman.rs:118-141) applies unchanged.
@@ -25,8 +30,7 @@ def pm_code_lens(weights, max_len: int = HUFFMAN_MAX_CODE_LEN) -> np.ndarray:
     """weights -> optimal code lengths with max(lens) <= max_len.
 
     Zero-weight symbols get length 0.  Deterministic across
-    implementations: items are sorted by (value, leaves-before-packages,
-    insertion index) via a stable sort of [leaves ++ packages].
+    implementations: each level stable-sorts [leaves ++ packages] by value.
     """
     w = np.asarray(weights, dtype=np.int64)
     n = len(w)
@@ -45,27 +49,28 @@ def pm_code_lens(weights, max_len: int = HUFFMAN_MAX_CODE_LEN) -> np.ndarray:
     leaf_sorted = leaf_vals[order]
 
     m = 2 * n
-    # level list: values + per-item leaf-rank count vectors
-    vals = np.full(m, INF, dtype=np.int64)
-    cnts = np.zeros((m, n), dtype=np.int32)
-    vals[:n] = leaf_sorted
-    cnts[:n] = np.eye(n, dtype=np.int32)
-
-    leaf_block_vals = np.full(m, INF, dtype=np.int64)
-    leaf_block_vals[:n] = leaf_sorted
-    leaf_block_cnts = np.zeros((m, n), dtype=np.int32)
-    leaf_block_cnts[:n] = np.eye(n, dtype=np.int32)
+    vals = np.concatenate([leaf_sorted, np.full(n, INF, dtype=np.int64)])
+    is_leaf = np.concatenate([np.ones(n, bool), np.zeros(n, bool)])
+    # leaf_prefix[l][x] = leaves among the first x items of level-l list
+    leaf_prefixes = [np.cumsum(is_leaf)]
 
     for _ in range(max_len - 1):
         pk_vals = np.minimum(vals[0::2] + vals[1::2], INF)
-        pk_cnts = cnts[0::2] + cnts[1::2]
-        merged_vals = np.concatenate([leaf_block_vals[:n], pk_vals])
-        merged_cnts = np.concatenate([leaf_block_cnts[:n], pk_cnts])
+        merged_vals = np.concatenate([leaf_sorted, pk_vals])
+        merged_leaf = np.concatenate([np.ones(n, bool), np.zeros(n, bool)])
         perm = np.argsort(merged_vals, kind="stable")
         vals = merged_vals[perm]
-        cnts = merged_cnts[perm]
+        is_leaf = merged_leaf[perm]
+        leaf_prefixes.append(np.cumsum(is_leaf))
 
-    take = 2 * n_active - 2
-    per_rank = cnts[:take].sum(axis=0)
+    # backward pass: items taken per level -> leading leaves taken
+    t = 2 * n_active - 2
+    ranks = np.arange(n, dtype=np.int64)
+    per_rank = np.zeros(n, dtype=np.int64)
+    for l in range(max_len - 1, -1, -1):  # leaf_prefixes[l] is level l+1
+        k = int(leaf_prefixes[l][t - 1]) if t > 0 else 0
+        per_rank += ranks < k
+        t = 2 * (t - k)
+
     lens[order[:n_active]] = per_rank[:n_active]
     return lens

@@ -1,9 +1,10 @@
 """Phase 4a — vectorized package-merge and canonical code assignment.
 
-The jitted twin of orz_tpu/device/pm_huffman.py: identical algorithm,
-identical tie-breaking (stable sort of [leaves ++ packages] by value), so
-device and host derive identical code lengths.  All tables are padded to 389
-symbols; zero-weight padding symbols are inert and receive length 0.
+The jitted twin of orz_tpu/device/pm_huffman.py: identical algorithm
+(boundary package-merge), identical tie-breaking (stable sort of
+[leaves ++ packages] by value), so device and host derive identical code
+lengths.  All tables are padded to the 425-symbol OTZ alphabet; zero-weight
+padding symbols are inert and receive length 0.
 """
 
 from __future__ import annotations
@@ -15,7 +16,7 @@ from jax import lax
 from orz_tpu.constants import HUFFMAN_MAX_CODE_LEN
 from orz_tpu.device.spec import SYMRANK_NUM_SYMBOLS
 
-N_SYM = SYMRANK_NUM_SYMBOLS  # 389
+N_SYM = SYMRANK_NUM_SYMBOLS  # 425
 INF = jnp.int32(1) << 28  # weights are < 2^21; INF+INF stays < 2^31
 
 
@@ -32,26 +33,32 @@ def pm_code_lens(w: jnp.ndarray, max_len: int = HUFFMAN_MAX_CODE_LEN) -> jnp.nda
 
     m = 2 * n
     pad = jnp.full(n, INF, jnp.int32)
+    ones = jnp.ones(n, jnp.int32)
+    zeros = jnp.zeros(n, jnp.int32)
     vals = jnp.concatenate([leaf_sorted, pad])
-    cnts = jnp.concatenate(
-        [jnp.eye(n, dtype=jnp.int32), jnp.zeros((n, n), jnp.int32)], axis=0
-    )
+    is_leaf = jnp.concatenate([ones, zeros])
+    leaf_prefixes = [jnp.cumsum(is_leaf)]
 
+    mi = jnp.arange(m, dtype=jnp.int32)
     for _ in range(max_len - 1):
         pk_vals = jnp.minimum(vals[0::2] + vals[1::2], INF)
-        pk_cnts = cnts[0::2] + cnts[1::2]
         merged_vals = jnp.concatenate([leaf_sorted, pk_vals])
-        merged_cnts = jnp.concatenate([jnp.eye(n, dtype=jnp.int32), pk_cnts], axis=0)
-        mi = jnp.arange(m, dtype=jnp.int32)
-        vals, perm = lax.sort((merged_vals, mi), num_keys=1, is_stable=True)
-        cnts = merged_cnts[perm]
+        merged_leaf = jnp.concatenate([ones, zeros])
+        vals, is_leaf = lax.sort((merged_vals, mi, merged_leaf), num_keys=2)[::2]
+        leaf_prefixes.append(jnp.cumsum(is_leaf))
 
-    take = 2 * n_active - 2
-    sel = (jnp.arange(m, dtype=jnp.int32) < take)[:, None]
-    per_rank = jnp.sum(cnts * sel, axis=0)
-    lens_ranked = per_rank  # indexed by leaf rank
-    lens = jnp.zeros(n, jnp.int32).at[order].set(lens_ranked)
+    # backward pass over levels (static unroll, traced t/k)
+    t = 2 * n_active - 2
+    ranks = jnp.arange(n, dtype=jnp.int32)
+    per_rank = jnp.zeros(n, jnp.int32)
+    for l in range(max_len - 1, -1, -1):
+        k = jnp.where(t > 0, leaf_prefixes[l][jnp.maximum(t - 1, 0)], 0)
+        per_rank = per_rank + (ranks < k)
+        t = 2 * (t - k)
 
+    lens = jnp.zeros(n, jnp.int32).at[order].set(
+        jnp.where(ranks < n_active, per_rank, 0), unique_indices=True
+    )
     # degenerate cases: 0 or 1 active symbols
     lens = jnp.where(n_active == 1, jnp.where(active, 1, 0), lens)
     lens = jnp.where(n_active == 0, 0, lens)

@@ -2,14 +2,19 @@ import os
 import sys
 
 # Force the CPU backend with 8 virtual devices for all tests so multi-chip
-# sharding paths are exercised without TPU hardware.  Must run before jax is
-# imported anywhere, and must OVERRIDE the environment: the machine image
-# pre-sets JAX_PLATFORMS=axon (remote TPU tunnel), which would silently route
-# every test's jit through one real chip.
+# sharding paths are exercised without TPU hardware.  The machine image's
+# sitecustomize registers the remote-TPU "axon" PJRT plugin and pins
+# jax_platforms via jax.config, so env vars alone are ignored — the config
+# must be overridden through jax.config before any backend initializes.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

@@ -127,7 +127,14 @@ def _gather_dwords(dw: jnp.ndarray, base: jnp.ndarray, offset: int):
 
 @partial(jax.jit, static_argnames=("depth",))
 def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
-    """Full phase-1 analysis of one padded segment (jit, static depth)."""
+    """Full phase-1 analysis of one padded segment (jit, static depth).
+
+    Candidate search runs entirely in (key, pos)-sorted space: a position's
+    j-th-previous same-key candidate sits j slots earlier in the sorted
+    order, so every candidate's dwords/ranks come from vector SHIFTS of
+    sorted arrays — the depth loop does no gathers at all (the sequential
+    chain walk of reference src/matcher.rs:135-192, turned into lane math).
+    """
     n = buf.shape[0]
     end = PAD_FRONT + seg_len
     p = jnp.arange(n, dtype=jnp.int32)
@@ -144,46 +151,63 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
 
     msk, msp = sort_by_key(ba.mkey, valid)
 
-    # query-side 16-byte block (shifted arrays, no gathers)
-    q0, q1, q2, q3 = (jnp.roll(ba.dw, -4 * i) for i in range(4))
+    # sorted-space views (one gather each, reused for all depths)
+    rank_s = rank[msp]
+    dw_s = [ba.dw[jnp.clip(msp + 4 * k, 0, n - 1)] for k in range(4)]
+
+    def shift_dn(x, j, fill):
+        return jnp.concatenate([jnp.full(j, fill, x.dtype), x[:-j]])
 
     best_score = jnp.zeros(n, dtype=jnp.int32)
-    best_q = jnp.full(n, -1, jnp.int32)
-    best_ro = jnp.zeros(n, dtype=jnp.int32)
+    best_q_s = jnp.full(n, -1, jnp.int32)
+    best_ro_s = jnp.zeros(n, dtype=jnp.int32)
     for j in range(1, depth + 1):
-        q = group_prev_from_sorted(msk, msp, j)
-        ro = rank - 1 - rank[jnp.clip(q, 0, n - 1)]
-        ok = (q >= 0) & (ro < RING)
-        x0 = _gather_dwords(ba.dw, q, 0) ^ q0
-        x1 = _gather_dwords(ba.dw, q, 4) ^ q1
-        x2 = _gather_dwords(ba.dw, q, 8) ^ q2
-        x3 = _gather_dwords(ba.dw, q, 12) ^ q3
+        same = shift_dn(msk, j, -1) == msk
+        q = shift_dn(msp, j, -1)
+        ro = rank_s - 1 - shift_dn(rank_s, j, 0)
+        ok = same & (ro < RING)
+        x0 = shift_dn(dw_s[0], j, 0) ^ dw_s[0]
+        x1 = shift_dn(dw_s[1], j, 0) ^ dw_s[1]
+        x2 = shift_dn(dw_s[2], j, 0) ^ dw_s[2]
+        x3 = shift_dn(dw_s[3], j, 0) ^ dw_s[3]
         lcp16, _ = _lcp_block(x0, x1, x2, x3)
         ok = ok & (lcp16 >= min_match_len_for_ro(ro))  # far-offset price gate
         score = jnp.where(ok, lcp16 * 64 + (depth - j), -1)
         better = score > best_score  # strict: ties keep the more recent j
         best_score = jnp.maximum(best_score, score)
-        best_q = jnp.where(better, q, best_q)
-        best_ro = jnp.where(better, ro, best_ro)
+        best_q_s = jnp.where(better, q, best_q_s)
+        best_ro_s = jnp.where(better, ro, best_ro_s)
 
-    lcp16_best = best_score >> 6
+    # back to position space
+    best_q = jnp.full(n, -1, jnp.int32).at[msp].set(best_q_s, unique_indices=True)
+    best_ro = jnp.zeros(n, jnp.int32).at[msp].set(best_ro_s, unique_indices=True)
+    score_pos = jnp.zeros(n, jnp.int32).at[msp].set(best_score, unique_indices=True)
+    lcp16_best = score_pos >> 6
 
-    # extend winners past 16 bytes in 16-byte rounds up to LZ_MATCH_MAX_LEN
-    def ext_round(k, carry):
-        cur, alive = carry
+    # extend winners past 16 bytes in 16-byte rounds up to LZ_MATCH_MAX_LEN;
+    # while_loop exits as soon as no lane is still extending (typical after
+    # 1-2 rounds), instead of always paying all 14 rounds of gathers
+    def ext_cond(carry):
+        k, cur, alive = carry
+        return (k < LZ_MATCH_MAX_LEN // 16) & alive.any()
+
+    def ext_round(carry):
+        k, cur, alive = carry
         off = 16 * k
-        x0 = _gather_dwords(ba.dw, best_q, off) ^ jnp.roll(ba.dw, -off)
-        x1 = _gather_dwords(ba.dw, best_q, off + 4) ^ jnp.roll(ba.dw, -(off + 4))
-        x2 = _gather_dwords(ba.dw, best_q, off + 8) ^ jnp.roll(ba.dw, -(off + 8))
-        x3 = _gather_dwords(ba.dw, best_q, off + 12) ^ jnp.roll(ba.dw, -(off + 12))
+        qb = jnp.where(alive, best_q, 0)  # keep dead lanes' gathers cheap
+        x0 = _gather_dwords(ba.dw, qb, off) ^ jnp.roll(ba.dw, -off)
+        x1 = _gather_dwords(ba.dw, qb, off + 4) ^ jnp.roll(ba.dw, -(off + 4))
+        x2 = _gather_dwords(ba.dw, qb, off + 8) ^ jnp.roll(ba.dw, -(off + 8))
+        x3 = _gather_dwords(ba.dw, qb, off + 12) ^ jnp.roll(ba.dw, -(off + 12))
         lcp, full = _lcp_block(x0, x1, x2, x3)
         cur = jnp.where(alive, cur + lcp, cur)
-        return cur, alive & full
+        return k + 1, cur, alive & full
 
     cur = lcp16_best
     alive = lcp16_best >= 16
-    for k in range(1, LZ_MATCH_MAX_LEN // 16):
-        cur, alive = ext_round(k, (cur, alive))
+    _, cur, _ = jax.lax.while_loop(
+        ext_cond, ext_round, (jnp.int32(1), cur, alive)
+    )
 
     blen = jnp.minimum(jnp.minimum(cur, LZ_MATCH_MAX_LEN), end - p)
     has = (best_q >= 0) & (blen >= min_match_len_for_ro(best_ro)) & valid

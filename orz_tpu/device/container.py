@@ -43,7 +43,7 @@ def tpu_encode(
     device dispatch: the symrank scan and all sorts run lockstep across the
     batch, amortizing per-step loop overhead over B segments of lanes."""
     del num_streams
-    from orz_tpu.parallel.mesh import mesh_encode_segments
+    from orz_tpu.device.pipeline import encode_segment_staged
 
     progress = progress or SilentProgressLogger()
     progress.set_is_encode(True)
@@ -76,11 +76,8 @@ def tpu_encode(
                 break
             segments.append(seg)
         if segments:
-            n_real = len(segments)
-            # pad the batch with empty segments so jit sees one batch shape
-            segments += [b""] * (max(batch, 1) - n_real)
-            payloads = mesh_encode_segments(segments, level=level, chunk_input=chunk_input)
-            for payload in payloads[:n_real]:
+            for seg in segments:
+                payload = encode_segment_staged(seg, level=level, chunk_input=chunk_input)
                 write_len(target, len(payload))
                 target.write(payload)
             progress.log(source.count(), target.count())

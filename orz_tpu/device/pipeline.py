@@ -84,8 +84,14 @@ def encode_segment_jit(
     coded = symrank_transform(
         items.symbol, items.sr_unlikely, items.sr_ctx, items.n_items, census_order
     )
+    return _entropy_stage(
+        items, coded, valid, chunk_id, num_counted, census_order, chunk_input, c_max
+    )
 
-    # per-chunk Huffman weights (3 tables, padded to 389 symbols)
+
+def _entropy_stage(items, coded, valid, chunk_id, num_counted, census_order,
+                   chunk_input: int, c_max: int) -> SegmentOut:
+    """Per-chunk Huffman weights + package-merge + canonical codes + packing."""
     rowA = jnp.where(valid & (items.after_literal == 1), chunk_id, c_max)
     rowB = jnp.where(valid & (items.after_literal == 0), chunk_id, c_max)
     has_ext = valid & (items.kind == 2) & (items.eml >= LZ_LENID_SIZE - 1)
@@ -139,6 +145,83 @@ def _bucket_capacity(n: int) -> int:
     while cap < n:
         cap *= 2
     return cap
+
+
+# --- staged path: XLA front + Pallas symrank + XLA back -------------------
+#
+# The symrank schedule's row count (max items in any context) is
+# data-dependent, but a Pallas input needs a static shape.  The pipeline is
+# split in two jitted programs: the front returns the round count, the host
+# buckets it, and the back (compiled per bucket) runs the VMEM-resident
+# symrank kernel plus entropy coding.
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def encode_front_jit(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int):
+    n = buf.shape[0]
+    an = analyze(buf, seg_len, depth)
+    dec = decisions(an, seg_len, n)
+    items = extract_items(dec, an, buf, seg_len)
+    m = items.start.shape[0]
+    valid = jnp.arange(m, dtype=jnp.int32) < items.n_items
+    per_ctx = jnp.zeros(513, jnp.int32).at[
+        jnp.where(valid, items.sr_ctx, 512)
+    ].add(1)
+    rounds = per_ctx[:512].max()
+    return items, rounds
+
+
+@partial(jax.jit, static_argnames=("chunk_input", "c_max", "r_cap"))
+def encode_back_jit(items, chunk_input: int, c_max: int, r_cap: int) -> SegmentOut:
+    from orz_tpu.ops.symrank_pallas import symrank_pallas
+
+    m = items.start.shape[0]
+    valid = jnp.arange(m, dtype=jnp.int32) < items.n_items
+    chunk_id = jnp.clip((items.start - PAD_FRONT) // chunk_input, 0, c_max - 1)
+
+    cens_idx = jnp.where(valid & (chunk_id == 0), items.symbol, N_SYM)
+    counts = jnp.zeros(N_SYM, jnp.int32).at[cens_idx].add(1, mode="drop")
+    primary = -jnp.maximum(counts, 1)
+    _, census_order = jax.lax.sort(
+        (primary, jnp.arange(N_SYM, dtype=jnp.int32)), num_keys=2
+    )
+    num_counted = (counts > 1).sum().astype(jnp.int32)
+
+    coded = symrank_pallas(
+        items.symbol, items.sr_unlikely, items.sr_ctx, items.n_items,
+        census_order, r_cap,
+    )
+    return _entropy_stage(items, coded, valid, chunk_id, num_counted,
+                          census_order, chunk_input, c_max)
+
+
+def encode_segment_staged(
+    data: bytes, level: int = 1, chunk_input: int = CHUNK_INPUT_DEFAULT
+) -> bytes:
+    """Device encode via the staged (Pallas symrank) path."""
+    from orz_tpu.ops.symrank_pallas import R_CAP_MAX, RB_BLK
+
+    enc = BitEncoder()
+    enc.encode_varint(len(data))
+    enc.encode_varint(chunk_input)
+    if not data:
+        return enc.finish()
+
+    cap = _bucket_capacity(len(data))
+    buf = np.zeros(PAD_FRONT + cap + PAD_TAIL, dtype=np.uint8)
+    buf[PAD_FRONT : PAD_FRONT + len(data)] = np.frombuffer(data, dtype=np.uint8)
+    c_max = n_chunks_for(cap, chunk_input)
+    items, rounds = encode_front_jit(
+        jnp.asarray(buf), jnp.int32(len(data)), candidate_depth(level)
+    )
+    r = int(rounds)
+    if r > R_CAP_MAX:  # pathological skew: all items in one context
+        return encode_segment_device(data, level=level, chunk_input=chunk_input)
+    r_cap = RB_BLK
+    while r_cap < r:
+        r_cap *= 2
+    out = encode_back_jit(items, chunk_input, c_max, r_cap)
+    return assemble_segment(enc, out, len(data), chunk_input)
 
 
 def encode_segment_device(

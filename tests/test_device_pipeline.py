@@ -64,3 +64,16 @@ def test_device_pathological_inputs():
         assert rc.decode_segment_ref(dev) == data
         ref = rc.encode_segment_ref(data, level=1, chunk_input=1 << 12)
         assert dev == ref
+
+
+def test_staged_pipeline_stream_identical(rng):
+    """Front/back staged path (Pallas symrank kernel, interpreted on CPU)
+    must produce the same bytes as the single-program XLA path."""
+    from orz_tpu.device.pipeline import encode_segment_staged
+
+    for maker, size, lvl in [("text", 10000, 2), ("binary", 6000, 1)]:
+        data = (make_text_like if maker == "text" else make_binary_like)(rng, size)
+        ref = rc.encode_segment_ref(data, level=lvl, chunk_input=1 << 13)
+        dev = encode_segment_staged(data, level=lvl, chunk_input=1 << 13)
+        assert dev == ref
+        assert rc.decode_segment_ref(dev) == data

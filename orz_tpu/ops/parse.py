@@ -75,20 +75,42 @@ def decisions(an: Analysis, seg_len: jnp.ndarray, n: int) -> Decisions:
 
 
 def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.ndarray) -> Items:
-    """Pointer-doubling orbit extraction: start[i] = next^i(PAD_FRONT)."""
+    """Pointer-doubling orbit extraction: start[i] = next^i(PAD_FRONT).
+
+    Two-level scheme to keep full-size (n,) gathers to a minimum: only
+    LOCAL_BITS jump tables are squared at full size; the orbit is walked at
+    stride 2^LOCAL_BITS on an (m / 2^LOCAL_BITS)-sized coarse chain, then
+    each coarse anchor expands its 2^LOCAL_BITS successors with the small
+    tables.  ~5 full-size gathers instead of ~log2(n)."""
     n = dec.nxt.shape[0]
     m = n - PAD_FRONT  # max possible items
     end = PAD_FRONT + seg_len
-    k_steps = max(1, (m - 1).bit_length())
 
-    i_idx = jnp.arange(m, dtype=jnp.int32)
-    pos = jnp.full((m,), PAD_FRONT, dtype=jnp.int32)
-    jump = dec.nxt
+    LOCAL_BITS = 5
+    stride = 1 << LOCAL_BITS
+    jumps = [dec.nxt]
+    for _ in range(LOCAL_BITS):
+        jumps.append(jumps[-1][jumps[-1]])
+    jump_stride = jumps[-1]  # advance 2^LOCAL_BITS items
+
+    # coarse chain: anchor c = position of item c * stride
+    mc = -(-m // stride)
+    c_idx = jnp.arange(mc, dtype=jnp.int32)
+    cpos = jnp.full((mc,), PAD_FRONT, dtype=jnp.int32)
+    cjump = jump_stride
+    k_steps = max(1, (mc - 1).bit_length())
     for k in range(k_steps):
-        bit = (i_idx >> k) & 1
-        pos = jnp.where(bit == 1, jump[pos], pos)
+        bit = (c_idx >> k) & 1
+        cpos = jnp.where(bit == 1, cjump[cpos], cpos)
         if k + 1 < k_steps:
-            jump = jump[jump]
+            cjump = cjump[cjump]
+
+    # expand: item i = anchor(i >> LOCAL_BITS) advanced by the low bits
+    i_idx = jnp.arange(m, dtype=jnp.int32)
+    pos = cpos[i_idx >> LOCAL_BITS]
+    for k in range(LOCAL_BITS):
+        bit = (i_idx >> k) & 1
+        pos = jnp.where(bit == 1, jumps[k][pos], pos)
 
     valid = pos < end
     n_items = valid.sum().astype(jnp.int32)

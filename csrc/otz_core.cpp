@@ -23,8 +23,10 @@ constexpr int PAD_FRONT = 16;
 constexpr int PAD_TAIL = 240 + 32;
 constexpr int NUM_CONTEXTS = 256;
 constexpr int RING = 32766;
-constexpr int N_SYM = 425;
-constexpr int WORD_SYMBOL = 424;
+constexpr int ROID_SIZE = 28;
+constexpr int N_SYM = 431;
+constexpr int WORD_SYMBOL = 430;
+constexpr int REP0_BASE = 424;  // 424..429: rep0 match, lenid 0..5
 constexpr int LENID_SIZE = 6;
 constexpr int MATCH_MIN_LEN = 4;
 constexpr int MATCH_MAX_LEN = 240;
@@ -193,8 +195,6 @@ struct SymRank {
 };
 
 // ROID schedule (shared with ORZ, reference src/lz.rs:494-534)
-constexpr int ROID_SIZE = 28;
-
 struct Roid {
   int base[ROID_SIZE];
   int bits[ROID_SIZE];
@@ -260,6 +260,7 @@ struct Decoder {
     int64_t n_chunks = (raw_len + chunk_input - 1) / chunk_input;
     int64_t p = PAD_FRONT;
     bool after_literal = true;
+    int64_t last_dist = 0;  // rep0 state
 
     for (int64_t c = 0; c < n_chunks; c++) {
       int64_t n_items = (int64_t)bd.varint();
@@ -300,16 +301,25 @@ struct Decoder {
           p += 1;
           after_literal = true;
         } else {
-          int roid = (v - 256) / LENID_SIZE;
-          int lenid = (v - 256) % LENID_SIZE;
-          if (roid >= ROID_SIZE) return -8;
-          int ro = ROID.base[roid] + (int)bd.raw(ROID.bits[roid]);
+          int lenid;
+          int64_t q;
+          if (v >= REP0_BASE) {  // rep0: previous match's distance
+            lenid = v - REP0_BASE;
+            if (last_dist <= 0) return -12;
+            q = p - last_dist;
+          } else {
+            int roid = (v - 256) / LENID_SIZE;
+            lenid = (v - 256) % LENID_SIZE;
+            if (roid >= ROID_SIZE) return -8;
+            int ro = ROID.base[roid] + (int)bd.raw(ROID.bits[roid]);
+            if (ro >= ctx_count[c1] || ro >= RING) return -9;
+            q = ring[(size_t)c1 * RING + ((ctx_count[c1] - 1 - ro) % RING)];
+          }
           int eml = (lenid == LENID_SIZE - 1) ? tabC.decode(bd) : lenid;
           int match_len = eml + MATCH_MIN_LEN;
-          if (ro >= ctx_count[c1] || ro >= RING) return -9;
-          int64_t q = ring[(size_t)c1 * RING + ((ctx_count[c1] - 1 - ro) % RING)];
-          if (q >= p || p + match_len > end) return -10;
+          if (q >= p || q < PAD_FRONT || p + match_len > end) return -10;
           for (int k = 0; k < match_len; k++) buf[p + k] = buf[q + k];
+          last_dist = p - q;
           p += match_len;
           after_literal = false;
         }

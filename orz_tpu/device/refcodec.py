@@ -75,6 +75,7 @@ from orz_tpu.device.pm_huffman import pm_code_lens
 from orz_tpu.device.spec import (
     CHUNK_INPUT_DEFAULT,
     LAZY_LEN_CAP,
+    REP0_BASE,
     LZ_LENID_SIZE,
     LZ_MATCH_MAX_LEN,
     LZ_MATCH_MIN_LEN,
@@ -117,6 +118,7 @@ class Analysis:
     wordmatch: np.ndarray  # bool: b[p..p+1] == pred
     bestlen: np.ndarray  # best match length (capped by end), 0 if none
     bestro: np.ndarray  # reduced offset of winner (valid iff bestlen >= 4)
+    bestq: np.ndarray  # winning match position (for rep-distance coding)
 
 
 @dataclass
@@ -148,6 +150,7 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
     pred = np.zeros(n, dtype=np.int64)
     bestlen = np.zeros(n, dtype=np.int64)
     bestro = np.zeros(n, dtype=np.int64)
+    bestq = np.zeros(n, dtype=np.int64)
 
     ctx_count = np.zeros(NUM_CONTEXTS, dtype=np.int64)
     words = np.zeros(WORD_TABLE_SIZE, dtype=np.int64)
@@ -163,7 +166,7 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
 
         # candidate search among the last `depth` same-key positions
         chain = chains.get(mkey[p])
-        best16, bro, blen = 0, -1, 0
+        best16, bro, blen, bq = 0, -1, 0, 0
         if chain:
             for q in chain[-1 : -depth - 1 : -1]:
                 ro = rank[p] - 1 - rank[q]
@@ -173,7 +176,7 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
                 if l16 < min_match_len_for_ro(ro):
                     continue  # far offsets must pay for their raw bits
                 if l16 > best16:
-                    best16, bro = l16, ro
+                    best16, bro, bq = l16, ro, q
                     if l16 >= 16:
                         blen = _lcp(buf, q, p, LZ_MATCH_MAX_LEN)
                     else:
@@ -183,6 +186,7 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
             if blen >= min_match_len_for_ro(bro):
                 bestlen[p] = blen
                 bestro[p] = bro
+                bestq[p] = bq
 
         chains.setdefault(mkey[p], []).append(p)
         ctx_count[cctx[p]] += 1
@@ -195,7 +199,7 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
     # prediction legitimately matches zero bytes; the parse guards word
     # items to p+2 <= end so pad bytes are never emitted.
     wordmatch = cur_word == pred
-    return Analysis(cctx, rank, pred, wordmatch, bestlen, bestro)
+    return Analysis(cctx, rank, pred, wordmatch, bestlen, bestro, bestq)
 
 
 def _lcp(buf: np.ndarray, q: int, p: int, cap: int) -> int:
@@ -250,15 +254,25 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int) -> Items:
         after_literal[0] = 1
         after_literal[1:] = kind[:-1] == 0
 
+    # rep0: match whose distance equals the previous match's distance
+    dist = np.where(kind == 2, start - an.bestq[start], 0)
+    prev_dist = np.zeros(len(start), dtype=np.int64)
+    last = 0
+    for i in range(len(start)):
+        prev_dist[i] = last
+        if kind[i] == 2:
+            last = dist[i]
+    rep0 = (kind == 2) & (dist == prev_dist) & (prev_dist > 0)
+
     ro = an.bestro[start]
     roid = np.where(kind == 2, ROID_ENC[ro, 0], 0)
-    robitlen = np.where(kind == 2, ROID_ENC[ro, 1], 0)
-    robits = np.where(kind == 2, ROID_ENC[ro, 2], 0)
+    robitlen = np.where((kind == 2) & ~rep0, ROID_ENC[ro, 1], 0)
+    robits = np.where((kind == 2) & ~rep0, ROID_ENC[ro, 2], 0)
     eml = np.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
     lenid = np.minimum(eml, LZ_LENID_SIZE - 1)
     symbol = np.where(
         kind == 2,
-        256 + roid * LZ_LENID_SIZE + lenid,
+        np.where(rep0, REP0_BASE + lenid, 256 + roid * LZ_LENID_SIZE + lenid),
         np.where(kind == 1, WORD_SYMBOL, buf[start].astype(np.int64)),
     )
     sr_ctx = an.cctx[start] | (after_literal << 8)
@@ -395,6 +409,7 @@ def decode_segment_ref(payload: bytes) -> bytes:
     done_ring = PAD_FRONT  # next position to insert into its context ring
     done_word = PAD_FRONT  # next word-model update u to apply
     after_literal = True
+    last_dist = 0  # rep0 state: distance of the most recent match
 
     n_chunks = n_chunks_for(raw_len, chunk_input)
     for _ in range(n_chunks):
@@ -442,22 +457,29 @@ def decode_segment_ref(payload: bytes) -> bytes:
                 p += 1
                 after_literal = True
             else:
-                roid = (v - 256) // LZ_LENID_SIZE
-                lenid = (v - 256) % LZ_LENID_SIZE
-                robase, robitlen = int(ROID_DEC[roid, 0]), int(ROID_DEC[roid, 1])
-                ro = robase + dec.decode_raw_bits(robitlen)
+                if v >= REP0_BASE:  # rep0: previous match's distance
+                    lenid = v - REP0_BASE
+                    if last_dist <= 0:
+                        raise OTZFormatError("rep0 with no previous match")
+                    q = p - last_dist
+                else:
+                    roid = (v - 256) // LZ_LENID_SIZE
+                    lenid = (v - 256) % LZ_LENID_SIZE
+                    robase, robitlen = int(ROID_DEC[roid, 0]), int(ROID_DEC[roid, 1])
+                    ro = robase + dec.decode_raw_bits(robitlen)
+                    if ro >= ctx_count[c1]:
+                        raise OTZFormatError("reduced offset out of range")
+                    q = int(ring[c1, (ctx_count[c1] - 1 - ro) % RING])
                 if lenid == LZ_LENID_SIZE - 1:
                     eml = dec.decode_huffman_sym(tabC)
                 else:
                     eml = lenid
                 match_len = eml + LZ_MATCH_MIN_LEN
-                if ro >= ctx_count[c1]:
-                    raise OTZFormatError("reduced offset out of range")
-                q = int(ring[c1, (ctx_count[c1] - 1 - ro) % RING])
-                if q >= p or p + match_len > end:
+                if q >= p or q < PAD_FRONT or p + match_len > end:
                     raise OTZFormatError("bad match span")
                 for k in range(match_len):
                     buf[p + k] = buf[q + k]
+                last_dist = p - q
                 p += match_len
                 after_literal = False
 

@@ -35,8 +35,16 @@ PAD_TAIL = LZ_MATCH_MAX_LEN + 32
 RING = 32766  # reachable reduced offsets
 OTZ_ROID_SIZE = 28
 NUM_CONTEXTS = 256  # hash1-style byte contexts
-SYMRANK_NUM_SYMBOLS = 256 + OTZ_ROID_SIZE * LZ_LENID_SIZE + 1  # 425
-WORD_SYMBOL = SYMRANK_NUM_SYMBOLS - 1  # 424
+
+# rep-match: a match whose distance equals the previous match's distance is
+# coded with a dedicated symbol family and NO offset bits (the decoder
+# tracks the last match distance).  The LZMA-family rep0 idea; the
+# reference's len_min/len_expected side-info (src/matcher.rs:32-50) exploits
+# the same target-reuse redundancy in a parse-coupled way that a
+# parallel encoder cannot reproduce.
+REP0_BASE = 256 + OTZ_ROID_SIZE * LZ_LENID_SIZE  # 424..429: rep0 lenids
+SYMRANK_NUM_SYMBOLS = REP0_BASE + LZ_LENID_SIZE + 1  # 431
+WORD_SYMBOL = SYMRANK_NUM_SYMBOLS - 1  # 430
 CHUNK_INPUT_DEFAULT = 1 << 21  # input bytes per entropy chunk (own tables)
 
 # price gate: far reduced offsets cost 11-13 raw bits, so a minimum match

@@ -85,7 +85,9 @@ class GoldenLZEncoder:
     def forward(self, forward_len: int) -> None:
         self.ctx.matcher.forward(forward_len)
 
-    def encode_chunk(self, cfg: LZCfg, sbuf: np.ndarray, sbuf_len: int, spos: int) -> Tuple[int, bytes]:
+    def encode_chunk(
+        self, cfg: LZCfg, sbuf: np.ndarray, sbuf_len: int, spos: int, item_sink=None
+    ) -> Tuple[int, bytes]:
         """Encode one chunk starting at spos; returns (new_spos, payload).
 
         sbuf must be physically padded with >= 480 zero bytes beyond sbuf_len
@@ -157,6 +159,9 @@ class GoldenLZEncoder:
                 spos += 1
                 ctx.after_literal = True
                 ctx.words[hash2(sbuf, spos - 3)] = int(sbuf[spos - 2]) | int(sbuf[spos - 1]) << 8
+
+        if item_sink is not None:  # diagnostics hook (tools/ratio_diag.py)
+            item_sink.extend(items)
 
         # first chunk of the stream: symbol census -> shared symrank init
         # (reference src/lz.rs:238-265)

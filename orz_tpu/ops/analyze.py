@@ -49,6 +49,7 @@ class Analysis(NamedTuple):
     wordmatch: jnp.ndarray  # bool
     bestlen: jnp.ndarray  # int32, 0 when no match
     bestro: jnp.ndarray  # int32 reduced offset (valid iff bestlen >= 4)
+    bestq: jnp.ndarray  # int32 winning match position (for rep-distance)
 
 
 def _shift_right(x: jnp.ndarray, k: int):
@@ -213,4 +214,5 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     has = (best_q >= 0) & (blen >= min_match_len_for_ro(best_ro)) & valid
     bestlen = jnp.where(has, blen, 0)
     bestro = jnp.where(has, best_ro, 0)
-    return Analysis(ba.cctx, rank, pred, wordmatch, bestlen, bestro)
+    bestq = jnp.where(has, best_q, 0)
+    return Analysis(ba.cctx, rank, pred, wordmatch, bestlen, bestro, bestq)

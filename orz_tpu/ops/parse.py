@@ -25,6 +25,7 @@ from orz_tpu.device.spec import (
     LZ_LENID_SIZE,
     LZ_MATCH_MIN_LEN,
     PAD_FRONT,
+    REP0_BASE,
     ROBITS_CHEAP,
     ROID_ENC,
     WORD_SYMBOL,
@@ -121,15 +122,26 @@ def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.n
     after_literal = jnp.concatenate(
         [jnp.ones(1, jnp.int32), (kind[:-1] == 0).astype(jnp.int32)]
     )
+
+    # rep0: previous match distance, via an associative "last valid" scan
+    dist = jnp.where(kind == 2, start - an.bestq[start], 0)
+
+    def last_valid(a, b):
+        return (jnp.where(b[1], b[0], a[0]), a[1] | b[1])
+
+    carried, _ = jax.lax.associative_scan(last_valid, (dist, kind == 2))
+    prev_dist = jnp.concatenate([jnp.zeros(1, carried.dtype), carried[:-1]])
+    rep0 = (kind == 2) & (dist == prev_dist) & (prev_dist > 0)
+
     ro = an.bestro[start]
     roid = ROID_ENC_J[ro, 0]
-    robitlen = jnp.where(kind == 2, ROID_ENC_J[ro, 1], 0)
-    robits = jnp.where(kind == 2, ROID_ENC_J[ro, 2], 0)
+    robitlen = jnp.where((kind == 2) & ~rep0, ROID_ENC_J[ro, 1], 0)
+    robits = jnp.where((kind == 2) & ~rep0, ROID_ENC_J[ro, 2], 0)
     eml = jnp.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
     lenid = jnp.minimum(eml, LZ_LENID_SIZE - 1)
     symbol = jnp.where(
         kind == 2,
-        256 + roid * LZ_LENID_SIZE + lenid,
+        jnp.where(rep0, REP0_BASE + lenid, 256 + roid * LZ_LENID_SIZE + lenid),
         jnp.where(kind == 1, WORD_SYMBOL, buf[start].astype(jnp.int32)),
     )
     sr_ctx = an.cctx[start] | (after_literal << 8)

@@ -23,7 +23,7 @@ constexpr int PAD_FRONT = 16;
 constexpr int PAD_TAIL = 240 + 32;
 constexpr int NUM_CONTEXTS = 256;
 constexpr int RING = 32766;
-constexpr int ROID_SIZE = 28;
+constexpr int ROID_SIZE = 28;  // reference schedule extended to 32766 offsets
 constexpr int N_SYM = 431;
 constexpr int WORD_SYMBOL = 430;
 constexpr int REP0_BASE = 424;  // 424..429: rep0 match, lenid 0..5

@@ -66,13 +66,13 @@ HASH_DWORD_ADDS = (797, 79797, 7979797, 797979797)
 # ---------------------------------------------------------------------------
 
 
-def _build_roid_tables(ring_size: int = LZ_MF_BUCKET_ITEM_SIZE):
+def _build_roid_tables(ring_size: int = LZ_MF_BUCKET_ITEM_SIZE, group: int = 2):
     enc = []  # reduced_offset -> (roid, robitlen, robits)
     dec = []  # roid -> (robase, robitlen)
     base = 0
     current_id = 0
     while base < ring_size:
-        bit_len = current_id // 2
+        bit_len = current_id // group
         dec.append((base, bit_len))
         rest = 0
         while rest != (1 << bit_len):

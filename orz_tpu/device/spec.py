@@ -33,7 +33,10 @@ PAD_TAIL = LZ_MATCH_MAX_LEN + 32
 # reference src/lz.rs:494-534) is continued from 22 ids / 4094 offsets to
 # 28 ids / 32766 offsets, reaching comparable history per context.
 RING = 32766  # reachable reduced offsets
-OTZ_ROID_SIZE = 28
+OTZ_ROID_GROUP = 2  # ids per extra-bit level (the reference's schedule,
+# src/lz.rs:494-534; measured better than finer 3-per-level bands, whose
+# larger symbol alphabet costs more in symrank churn than it saves in raw
+# offset bits)
 NUM_CONTEXTS = 256  # hash1-style byte contexts
 
 # rep-match: a match whose distance equals the previous match's distance is
@@ -42,6 +45,12 @@ NUM_CONTEXTS = 256  # hash1-style byte contexts
 # reference's len_min/len_expected side-info (src/matcher.rs:32-50) exploits
 # the same target-reuse redundancy in a parse-coupled way that a
 # parallel encoder cannot reproduce.
+# extended ROID schedule: reduced_offset -> (roid, robitlen, robits)
+_enc, _dec = build_roid_tables(RING, OTZ_ROID_GROUP)
+ROID_ENC = np.asarray(_enc, dtype=np.int32)
+ROID_DEC = np.asarray(_dec, dtype=np.int32)
+OTZ_ROID_SIZE = len(ROID_DEC)  # 28
+
 REP0_BASE = 256 + OTZ_ROID_SIZE * LZ_LENID_SIZE  # 424..429: rep0 lenids
 SYMRANK_NUM_SYMBOLS = REP0_BASE + LZ_LENID_SIZE + 1  # 431
 WORD_SYMBOL = SYMRANK_NUM_SYMBOLS - 1  # 430
@@ -63,7 +72,7 @@ def min_match_len_for_ro(ro):
 # shares the hashed dword, so depths are smaller than orz's chain-walk depths
 # (reference src/main.rs:97-101 walks 5/15/45 hash-chain nodes, most of which
 # fail the first dword test).
-LEVEL_CANDIDATES = {0: 4, 1: 8, 2: 16}
+LEVEL_CANDIDATES = {0: 4, 1: 8, 2: 24}
 
 # lazy-parse thresholds mirrored from the reference parse heuristics
 # (reference src/lz.rs:113-118): matches shorter than MAX_LEN/2 may be
@@ -71,11 +80,7 @@ LEVEL_CANDIDATES = {0: 4, 1: 8, 2: 16}
 LAZY_LEN_CAP = LZ_MATCH_MAX_LEN // 2  # 120
 ROBITS_CHEAP = 8  # robitlen < 8 counts as a "cheap" offset in lazy_len1
 
-# extended ROID schedule: reduced_offset -> (roid, robitlen, robits)
-_enc, _dec = build_roid_tables(RING)
-ROID_ENC = np.asarray(_enc, dtype=np.int32)
-ROID_DEC = np.asarray(_dec, dtype=np.int32)
-assert len(ROID_ENC) == RING and len(ROID_DEC) == OTZ_ROID_SIZE
+assert len(ROID_ENC) == RING and ROID_DEC[-1][1] <= 13
 
 _ALNUM = np.zeros(256, dtype=np.int32)
 for _b in range(256):

@@ -1,0 +1,124 @@
+"""Multi-host block-data-parallel compression.
+
+The reference has no distributed components (SURVEY.md section 2); this is
+the framework's scale-out axis mandated by the north star: split the input
+into independent segments, stripe them across processes (one host + its
+chips per process), encode each stripe with the local device mesh, and
+gather the variable-length payloads in file order.
+
+Two gather paths:
+- in-memory: `process_allgather` of length-prefixed, padded payload tensors
+  over the jax distributed backend (DCN);
+- file: each process writes `<out>.partN` for its stripe and rank 0 splices
+  them in order — the natural path for large corpora on a shared FS.
+
+Single-process use degrades gracefully (process_count == 1), which is how
+the CI suite exercises this module.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from orz_tpu.device.spec import CHUNK_INPUT_DEFAULT
+from orz_tpu.ioutil import write_len
+from orz_tpu.pcontainer import TPU_MAGIC
+
+
+def maybe_initialize() -> None:
+    """jax.distributed.initialize from standard env, if configured."""
+    import jax
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def process_info():
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
+def encode_striped(
+    segments: List[bytes],
+    level: int = 2,
+    chunk_input: int = CHUNK_INPUT_DEFAULT,
+) -> List[Optional[bytes]]:
+    """Encode the stripe of `segments` owned by this process (round-robin by
+    index); other slots are None.  Uses the local device mesh."""
+    from orz_tpu.device.pipeline import encode_segment_staged
+
+    rank, world = process_info()
+    out: List[Optional[bytes]] = [None] * len(segments)
+    for i in range(rank, len(segments), world):
+        out[i] = encode_segment_staged(segments[i], level=level, chunk_input=chunk_input)
+    return out
+
+
+def allgather_payloads(partial: List[Optional[bytes]]) -> List[bytes]:
+    """Exchange stripes so every process holds every payload, in order.
+
+    Payloads are length-prefixed and padded to the global max so one
+    all-gather moves everything; for process_count == 1 this is a no-op.
+    """
+    import jax
+
+    rank, world = process_info()
+    if world == 1:
+        assert all(p is not None for p in partial)
+        return list(partial)  # type: ignore[arg-type]
+
+    from jax.experimental import multihost_utils
+
+    n = len(partial)
+    local_max = max((len(p) for p in partial if p is not None), default=0)
+    maxlen = int(
+        multihost_utils.process_allgather(np.asarray([local_max], np.int32)).max()
+    )
+    buf = np.zeros((n, maxlen + 4), np.uint8)
+    for i, p in enumerate(partial):
+        if p is not None:
+            buf[i, :4] = np.frombuffer(np.int32(len(p)).tobytes(), np.uint8)
+            buf[i, 4 : 4 + len(p)] = np.frombuffer(p, np.uint8)
+    gathered = multihost_utils.process_allgather(buf)  # (world, n, maxlen+4)
+    out: List[bytes] = []
+    for i in range(n):
+        owner = i % world
+        row = gathered[owner, i]
+        ln = int(np.frombuffer(row[:4].tobytes(), np.int32)[0])
+        out.append(row[4 : 4 + ln].tobytes())
+    return out
+
+
+def distributed_encode_file(
+    in_path: str,
+    out_path: str,
+    level: int = 2,
+    segment_size: int = 1 << 23,
+    chunk_input: int = CHUNK_INPUT_DEFAULT,
+) -> None:
+    """Encode a file across all processes into one ORZT container (written
+    by rank 0; all ranks read the shared input)."""
+    rank, world = process_info()
+    segments = []
+    with open(in_path, "rb") as f:
+        while True:
+            seg = f.read(segment_size)
+            if not seg:
+                break
+            segments.append(seg)
+
+    partial = encode_striped(segments, level=level, chunk_input=chunk_input)
+    payloads = allgather_payloads(partial)
+
+    if rank == 0:
+        with open(out_path, "wb") as out:
+            out.write(TPU_MAGIC)
+            write_len(out, segment_size)
+            for p in payloads:
+                write_len(out, len(p))
+                out.write(p)
+            write_len(out, 0)

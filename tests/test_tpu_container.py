@@ -66,3 +66,16 @@ def test_mesh_block_parallel_8dev(rng):
         from orz_tpu.device.pipeline import encode_segment_device
 
         assert payload == encode_segment_device(seg, level=1, chunk_input=1 << 12)
+
+
+def test_distributed_single_process(tmp_path, rng):
+    """Striped encode + allgather + file writer, single-process degenerate
+    case (multi-process needs a pod; the stripe/gather logic is identical)."""
+    from orz_tpu.parallel import distributed as dist
+
+    data = make_text_like(rng, 60_000)
+    src = tmp_path / "in.bin"
+    dst = tmp_path / "out.orzt"
+    src.write_bytes(data)
+    dist.distributed_encode_file(str(src), str(dst), level=1, segment_size=1 << 14)
+    assert tpu_decode_bytes(dst.read_bytes()) == data

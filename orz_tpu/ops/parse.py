@@ -123,14 +123,13 @@ def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.n
         [jnp.ones(1, jnp.int32), (kind[:-1] == 0).astype(jnp.int32)]
     )
 
-    # rep0: previous match distance, via an associative "last valid" scan
+    # rep0: previous match's distance, found via a running max of match
+    # item indices (cummax compiles far leaner than an associative scan)
     dist = jnp.where(kind == 2, start - an.bestq[start], 0)
-
-    def last_valid(a, b):
-        return (jnp.where(b[1], b[0], a[0]), a[1] | b[1])
-
-    carried, _ = jax.lax.associative_scan(last_valid, (dist, kind == 2))
-    prev_dist = jnp.concatenate([jnp.zeros(1, carried.dtype), carried[:-1]])
+    m_ids = jnp.arange(m, dtype=jnp.int32)
+    last_match = jax.lax.cummax(jnp.where(kind == 2, m_ids, -1))
+    prev_match = jnp.concatenate([jnp.full(1, -1, jnp.int32), last_match[:-1]])
+    prev_dist = jnp.where(prev_match >= 0, dist[jnp.clip(prev_match, 0, m - 1)], 0)
     rep0 = (kind == 2) & (dist == prev_dist) & (prev_dist > 0)
 
     ro = an.bestro[start]

@@ -43,7 +43,11 @@ def tpu_encode(
     device dispatch: the symrank scan and all sorts run lockstep across the
     batch, amortizing per-step loop overhead over B segments of lanes."""
     del num_streams
-    from orz_tpu.device.pipeline import encode_segment_staged
+    from orz_tpu.device.pipeline import (
+        dispatch_segment_back,
+        dispatch_segment_front,
+        finish_segment,
+    )
 
     progress = progress or SilentProgressLogger()
     progress.set_is_encode(True)
@@ -66,20 +70,24 @@ def tpu_encode(
             remaining -= len(piece)
         return b"".join(chunks)
 
+    # software pipeline over `batch` segments in flight: every dispatch is
+    # asynchronous, so the device runs front/back programs back to back
+    # while the host splices earlier payloads
     eof = False
-    while not eof:
-        segments = []
-        while len(segments) < max(batch, 1):
+    inflight = []  # (seg_bytes, front_state)
+    while not eof or inflight:
+        while not eof and len(inflight) < max(batch, 1):
             seg = read_segment()
             if not seg:
                 eof = True
                 break
-            segments.append(seg)
-        if segments:
-            for seg in segments:
-                payload = encode_segment_staged(seg, level=level, chunk_input=chunk_input)
-                write_len(target, len(payload))
-                target.write(payload)
+            inflight.append((seg, dispatch_segment_front(seg, level, chunk_input)))
+        if inflight:
+            seg, front = inflight.pop(0)
+            back = dispatch_segment_back(front)  # syncs only the round count
+            payload = finish_segment(seg, back, chunk_input)
+            write_len(target, len(payload))
+            target.write(payload)
             progress.log(source.count(), target.count())
 
     write_len(target, 0)

@@ -195,33 +195,70 @@ def encode_back_jit(items, chunk_input: int, c_max: int, r_cap: int) -> SegmentO
                           census_order, chunk_input, c_max)
 
 
+def dispatch_segment_front(data: bytes, level: int, chunk_input: int):
+    """Asynchronously dispatch the front program; returns opaque state."""
+    if not data:
+        return {"empty": True, "data": data, "chunk_input": chunk_input}
+    cap = _bucket_capacity(len(data))
+    buf = np.zeros(PAD_FRONT + cap + PAD_TAIL, dtype=np.uint8)
+    buf[PAD_FRONT : PAD_FRONT + len(data)] = np.frombuffer(data, dtype=np.uint8)
+    items, rounds = encode_front_jit(
+        jnp.asarray(buf), jnp.int32(len(data)), candidate_depth(level)
+    )
+    return {
+        "empty": False,
+        "data": data,
+        "level": level,
+        "chunk_input": chunk_input,
+        "c_max": n_chunks_for(cap, chunk_input),
+        "items": items,
+        "rounds": rounds,
+    }
+
+
+def dispatch_segment_back(front):
+    """Sync the round count, dispatch the back program (async)."""
+    from orz_tpu.ops.symrank_pallas import R_CAP_MAX, RB_BLK
+
+    if front["empty"]:
+        return front
+    r = int(front["rounds"])  # the only host sync before assembly
+    if r > R_CAP_MAX:  # pathological skew: all items in one context
+        return {
+            "empty": False,
+            "fallback": encode_segment_device(
+                front["data"], level=front["level"], chunk_input=front["chunk_input"]
+            ),
+        }
+    r_cap = RB_BLK
+    while r_cap < r:
+        r_cap *= 2
+    out = encode_back_jit(front["items"], front["chunk_input"], front["c_max"], r_cap)
+    return {"empty": False, "fallback": None, "out": out}
+
+
+def finish_segment(data: bytes, back, chunk_input: int) -> bytes:
+    """Assemble the final payload (forces the back program's outputs)."""
+    if back.get("empty"):
+        enc = BitEncoder()
+        enc.encode_varint(0)
+        enc.encode_varint(chunk_input)
+        return enc.finish()
+    if back.get("fallback") is not None:
+        return back["fallback"]
+    enc = BitEncoder()
+    enc.encode_varint(len(data))
+    enc.encode_varint(chunk_input)
+    return assemble_segment(enc, back["out"], len(data), chunk_input)
+
+
 def encode_segment_staged(
     data: bytes, level: int = 1, chunk_input: int = CHUNK_INPUT_DEFAULT
 ) -> bytes:
     """Device encode via the staged (Pallas symrank) path."""
-    from orz_tpu.ops.symrank_pallas import R_CAP_MAX, RB_BLK
-
-    enc = BitEncoder()
-    enc.encode_varint(len(data))
-    enc.encode_varint(chunk_input)
-    if not data:
-        return enc.finish()
-
-    cap = _bucket_capacity(len(data))
-    buf = np.zeros(PAD_FRONT + cap + PAD_TAIL, dtype=np.uint8)
-    buf[PAD_FRONT : PAD_FRONT + len(data)] = np.frombuffer(data, dtype=np.uint8)
-    c_max = n_chunks_for(cap, chunk_input)
-    items, rounds = encode_front_jit(
-        jnp.asarray(buf), jnp.int32(len(data)), candidate_depth(level)
-    )
-    r = int(rounds)
-    if r > R_CAP_MAX:  # pathological skew: all items in one context
-        return encode_segment_device(data, level=level, chunk_input=chunk_input)
-    r_cap = RB_BLK
-    while r_cap < r:
-        r_cap *= 2
-    out = encode_back_jit(items, chunk_input, c_max, r_cap)
-    return assemble_segment(enc, out, len(data), chunk_input)
+    front = dispatch_segment_front(data, level, chunk_input)
+    back = dispatch_segment_back(front)
+    return finish_segment(data, back, chunk_input)
 
 
 def encode_segment_device(

@@ -303,11 +303,15 @@ struct HuffDecoding {
     std::vector<uint16_t> codes(static_cast<size_t>(n));
     std::vector<uint16_t> lens(static_cast<size_t>(n));
     huff_encodings(code_lens, n, codes.data(), lens.data());
+    size_t cap = size_t(1) << mcl;
     for (int s = 0; s < n; s++) {
       if (lens[size_t(s)] > 0) {
         int rest = mcl - lens[size_t(s)];
+        if (rest < 0) continue;
         size_t base = size_t(codes[size_t(s)]) << rest;
-        for (size_t k = 0; k < (size_t(1) << rest); k++) {
+        size_t span = size_t(1) << rest;
+        if (base + span > cap) continue;  // corrupt table: Kraft overflow
+        for (size_t k = 0; k < span; k++) {
           sym[base + k] = uint16_t(s);
           len[base + k] = uint8_t(lens[size_t(s)]);
         }
@@ -334,13 +338,14 @@ static void encode_huff_table(BitEncoder& enc, const uint8_t* code_lens, int n) 
 // returns max_code_len; fills code_lens[0..n) (missing tail = 0)
 static int decode_huff_table(BitDecoder& dec, uint8_t* code_lens, int n) {
   int max_code_len = int(dec.varint());
+  if (max_code_len < 0 || max_code_len > 15) return -1;  // before any LUT sizing
   std::memset(code_lens, 0, size_t(n));
   int s = -1;
   for (;;) {
     uint32_t delta = dec.varint();
     if (delta == 0) break;
     s = (s < 0 ? int(delta) - 1 : s + int(delta));
-    if (s >= n || max_code_len > 16) return -1;
+    if (s < 0 || s >= n) return -1;
     int cl = max_code_len - int(dec.varint());
     if (cl < 0) return -1;
     code_lens[s] = uint8_t(cl);
@@ -837,7 +842,9 @@ int64_t orz_dec_chunk(void* h, const uint8_t* tbuf, int64_t t, uint8_t* sbuf, in
     uint32_t peeked = hd.max_code_len ? uint32_t(dec.peek(hd.max_code_len)) : 0;
     uint16_t symbol = hd.sym[peeked];
     dec.skip(hd.len[peeked]);
-    if (symbol > uint16_t(NUM_SYMBOLS)) return -2;
+    // strict bound (the reference's lenient 0..=389 check, src/lz.rs:413-415,
+    // would let symbol 389 index past the symrank tables on corrupt input)
+    if (symbol >= uint16_t(NUM_SYMBOLS)) return -2;
 
     int c1 = hash1(sbuf, spos - 1);
     uint16_t last_word = ctx.words[hash2(sbuf, spos - 1)];

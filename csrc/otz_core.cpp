@@ -105,6 +105,7 @@ struct HuffDec {
     // canonical order by (len, sym)
     uint32_t code = 0;
     int cur_len = 1;
+    uint64_t cap = (uint64_t)1 << max_code_len;
     for (int l = 1; l <= max_code_len; l++) {
       for (int s = 0; s < nsym_max; s++) {
         if (lens[s] != l) continue;
@@ -112,7 +113,9 @@ struct HuffDec {
         cur_len = l;
         int rest = max_code_len - l;
         uint64_t base = (uint64_t)code << rest;
-        for (int64_t k = 0; k < (1LL << rest); k++) {
+        uint64_t span = (uint64_t)1 << rest;
+        if (base + span > cap) return false;  // corrupt table: Kraft overflow
+        for (uint64_t k = 0; k < span; k++) {
           lut_sym[base + k] = (uint16_t)s;
           lut_len[base + k] = (uint8_t)l;
         }
@@ -234,6 +237,9 @@ struct Decoder {
     int64_t chunk_input = (int64_t)bd.varint();
     if (bd.fail) return -1;
     if (raw_len == 0) return 0;
+    // sanity bounds before any allocation: a corrupt varint can claim
+    // exabytes (vector growth would abort under -fno-exceptions)
+    if (raw_len < 0 || raw_len > (int64_t)1 << 33) return -2;
     if (chunk_input <= 0 || raw_len > cap) return -2;
 
     buf.assign(PAD_FRONT + raw_len + PAD_TAIL, 0);

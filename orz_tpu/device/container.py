@@ -18,11 +18,11 @@ DEFAULT_SEGMENT_SIZE = 1 << 23  # 8 MiB
 DEFAULT_BATCH = 4  # segments batched per device dispatch
 
 
-def _decode_segment(payload: bytes) -> bytes:
+def _decode_segment(payload: bytes, max_raw_len: int = 1 << 31) -> bytes:
     try:
         from orz_tpu.native.otz import decode_segment_native
 
-        return decode_segment_native(payload)
+        return decode_segment_native(payload, max_raw_len=max_raw_len)
     except (OSError, ImportError):  # no toolchain: slow reference fallback
         from orz_tpu.device.refcodec import decode_segment_ref
 

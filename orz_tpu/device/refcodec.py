@@ -370,7 +370,9 @@ def decode_segment_ref(payload: bytes) -> bytes:
     chunk_input = dec.decode_varint()
     if raw_len == 0:
         return b""
-    if chunk_input <= 0:
+    if raw_len > (1 << 31):
+        raise OTZFormatError("implausible segment length")
+    if chunk_input <= 0 or chunk_input > (1 << 31):
         raise OTZFormatError("bad chunk_input")
 
     buf = np.zeros(PAD_FRONT + raw_len + PAD_TAIL, dtype=np.uint8)

@@ -261,7 +261,7 @@ class GoldenLZDecoder:
 
         for _ in range(n_items):
             symbol = dec.decode_huffman_sym(huff1[int(ctx.after_literal)])
-            if symbol > SYMRANK_NUM_SYMBOLS:
+            if symbol >= SYMRANK_NUM_SYMBOLS:
                 raise FormatError("symbol out of range")
 
             c1 = hash1(sbuf, spos - 1)

@@ -54,11 +54,14 @@ def get_library():
     return _lib
 
 
-def decode_segment_native(payload: bytes) -> bytes:
+def decode_segment_native(payload: bytes, max_raw_len: int = 1 << 31) -> bytes:
+    """max_raw_len: sanity cap on the decoded size; the ORZT container
+    passes its segment_size so corrupt headers can't trigger huge
+    allocations (the format's true bound)."""
     lib = get_library()
     src = np.frombuffer(payload, dtype=np.uint8)
     raw_len = lib.otz_raw_len(src.ctypes.data, src.size)
-    if raw_len < 0:
+    if raw_len < 0 or raw_len > max_raw_len:
         raise ValueError("invalid OTZ segment header")
     if raw_len == 0:
         return b""

@@ -185,30 +185,63 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     score_pos = jnp.zeros(n, jnp.int32).at[msp].set(best_score, unique_indices=True)
     lcp16_best = score_pos >> 6
 
-    # extend winners past 16 bytes in 16-byte rounds up to LZ_MATCH_MAX_LEN;
-    # while_loop exits as soon as no lane is still extending (typical after
-    # 1-2 rounds), instead of always paying all 14 rounds of gathers
-    def ext_cond(carry):
-        k, cur, alive = carry
-        return (k < LZ_MATCH_MAX_LEN // 16) & alive.any()
-
-    def ext_round(carry):
-        k, cur, alive = carry
+    # extend winners past 16 bytes.  Two static 16-byte rounds (static roll
+    # shifts, cheap) retire the vast majority of matches; the few survivors
+    # (len >= 48) are COMPACTED to the front of a K-sized working set and
+    # extended there — all tail gathers run at n/16 size instead of n
+    # (the full-width while_loop version spent ~80% of analyze here).
+    cur = lcp16_best
+    alive = lcp16_best >= 16
+    for k in (1, 2):
         off = 16 * k
-        qb = jnp.where(alive, best_q, 0)  # keep dead lanes' gathers cheap
+        qb = jnp.where(alive, best_q, 0)
         x0 = _gather_dwords(ba.dw, qb, off) ^ jnp.roll(ba.dw, -off)
         x1 = _gather_dwords(ba.dw, qb, off + 4) ^ jnp.roll(ba.dw, -(off + 4))
         x2 = _gather_dwords(ba.dw, qb, off + 8) ^ jnp.roll(ba.dw, -(off + 8))
         x3 = _gather_dwords(ba.dw, qb, off + 12) ^ jnp.roll(ba.dw, -(off + 12))
         lcp, full = _lcp_block(x0, x1, x2, x3)
         cur = jnp.where(alive, cur + lcp, cur)
-        return k + 1, cur, alive & full
+        alive = alive & full
 
-    cur = lcp16_best
-    alive = lcp16_best >= 16
-    _, cur, _ = jax.lax.while_loop(
-        ext_cond, ext_round, (jnp.int32(1), cur, alive)
+    k_sub = max(1024, n // 16)
+    _, alive_first = lax.sort(
+        ((~alive).astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)), num_keys=2
     )
+    n_alive = alive.sum()
+
+    def chunk_cond(carry):
+        c, cur = carry
+        return c * k_sub < n_alive
+
+    def chunk_body(carry):
+        c, cur = carry
+        sub_p = lax.dynamic_slice(alive_first, (c * k_sub,), (k_sub,))
+        sub_q = best_q[sub_p]
+        sub_cur = cur[sub_p]
+        sub_alive = alive[sub_p]
+
+        def tail_cond(tc):
+            k, scur, salive = tc
+            return (k < LZ_MATCH_MAX_LEN // 16) & salive.any()
+
+        def tail_round(tc):
+            k, scur, salive = tc
+            off = 16 * k
+            qb = jnp.where(salive, sub_q, 0)
+            pb = jnp.where(salive, sub_p, 0)
+            x0 = _gather_dwords(ba.dw, qb, off) ^ _gather_dwords(ba.dw, pb, off)
+            x1 = _gather_dwords(ba.dw, qb, off + 4) ^ _gather_dwords(ba.dw, pb, off + 4)
+            x2 = _gather_dwords(ba.dw, qb, off + 8) ^ _gather_dwords(ba.dw, pb, off + 8)
+            x3 = _gather_dwords(ba.dw, qb, off + 12) ^ _gather_dwords(ba.dw, pb, off + 12)
+            lcp, full = _lcp_block(x0, x1, x2, x3)
+            scur = jnp.where(salive, scur + lcp, scur)
+            return k + 1, scur, salive & full
+
+        _, sub_cur, _ = lax.while_loop(tail_cond, tail_round, (jnp.int32(3), sub_cur, sub_alive))
+        cur = cur.at[sub_p].set(sub_cur, unique_indices=True)
+        return c + 1, cur
+
+    _, cur = lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), cur))
 
     blen = jnp.minimum(jnp.minimum(cur, LZ_MATCH_MAX_LEN), end - p)
     has = (best_q >= 0) & (blen >= min_match_len_for_ro(best_ro)) & valid

@@ -17,6 +17,7 @@ from functools import partial
 from typing import NamedTuple
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,17 +95,24 @@ def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.n
         jumps.append(jumps[-1][jumps[-1]])
     jump_stride = jumps[-1]  # advance 2^LOCAL_BITS items
 
-    # coarse chain: anchor c = position of item c * stride
+    # coarse chain: anchor c = position of item c*stride, walked as a SCALAR
+    # chain (~n_items/32 latency-bound steps — far cheaper than doubling,
+    # which needs log2(m) more full-size jump-table squarings)
     mc = -(-m // stride)
-    c_idx = jnp.arange(mc, dtype=jnp.int32)
-    cpos = jnp.full((mc,), PAD_FRONT, dtype=jnp.int32)
-    cjump = jump_stride
-    k_steps = max(1, (mc - 1).bit_length())
-    for k in range(k_steps):
-        bit = (c_idx >> k) & 1
-        cpos = jnp.where(bit == 1, cjump[cpos], cpos)
-        if k + 1 < k_steps:
-            cjump = cjump[cjump]
+
+    def walk_cond(carry):
+        c, pos, _ = carry
+        return (c < mc) & (pos < end)
+
+    def walk_body(carry):
+        c, pos, anchors = carry
+        anchors = anchors.at[c].set(pos)
+        return c + 1, jump_stride[pos], anchors
+
+    anchors0 = jnp.full((mc,), 0, jnp.int32) + end  # unreached -> end
+    _, _, cpos = lax.while_loop(
+        walk_cond, walk_body, (jnp.int32(0), jnp.int32(PAD_FRONT), anchors0)
+    )
 
     # expand: item i = anchor(i >> LOCAL_BITS) advanced by the low bits
     i_idx = jnp.arange(m, dtype=jnp.int32)

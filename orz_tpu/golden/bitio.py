@@ -166,6 +166,8 @@ class BitDecoder:
             shift += 1
             if bits <= 0b01:
                 break
+            if shift > 62:  # corrupt stream: unbounded continuation run
+                raise ValueError("varint overflow")
         return v
 
     def decode_huffman_sym(self, decoding) -> int:

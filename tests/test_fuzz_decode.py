@@ -26,7 +26,8 @@ def _mutations(rng, payload: bytes, n: int):
         yield bytes(b)
 
 
-def test_otz_decoders_survive_corruption(rng):
+def test_otz_decoders_survive_corruption():
+    rng = np.random.default_rng(0xF022)  # own stream: deterministic mutants
     data = make_text_like(rng, 20000)
     payload = encode_segment_ref(data, level=1, chunk_input=1 << 13)
     for mutant in _mutations(rng, payload, 40):
@@ -43,12 +44,13 @@ def test_otz_decoders_survive_corruption(rng):
             pass
 
 
-def test_orz_native_survives_corruption(rng):
+def test_orz_native_survives_corruption():
     from orz_tpu.cfg import cfg_from_level
     from orz_tpu.container import decode_bytes, encode_bytes
     from orz_tpu.native import NativeBackend
 
     be = NativeBackend()
+    rng = np.random.default_rng(0xF033)
     data = make_text_like(rng, 20000)
     payload = encode_bytes(data, cfg_from_level(1), be)
     for mutant in _mutations(rng, payload, 30):

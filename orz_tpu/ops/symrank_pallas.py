@@ -38,7 +38,7 @@ S = SYMRANK_NUM_SYMBOLS  # 509
 S_PAD = -(-S // 8) * 8  # pad to a multiple of 8 sublanes (512)
 TOP = S - 1
 RB_BLK = 256  # schedule rows per grid step
-R_CAP_MAX = 1 << 18  # fall back to the XLA scan beyond this many rounds
+R_CAP_MAX = 1 << 19  # fall back to the XLA scan beyond this many rounds (schedule array stays ~1 GB)
 
 
 def _exact_div(a, b):

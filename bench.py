@@ -62,7 +62,7 @@ def make_corpus(n: int) -> bytes:
 def main() -> int:
     mb = int(os.environ.get("BENCH_MB", "16"))
     level = int(os.environ.get("BENCH_LEVEL", "2"))
-    seg_mb = int(os.environ.get("BENCH_SEGMENT_MB", "4"))
+    seg_mb = int(os.environ.get("BENCH_SEGMENT_MB", "8"))
     segment_size = seg_mb << 20
 
     import jax

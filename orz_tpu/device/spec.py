@@ -58,21 +58,25 @@ CHUNK_INPUT_DEFAULT = 1 << 21  # input bytes per entropy chunk (own tables)
 
 # price gate: far reduced offsets cost 11-13 raw bits, so a minimum match
 # length scales with offset distance (near orz's implicit pricing via its
-# sparser rings)
-FAR_RO_1 = 4094  # beyond the reference's span: require len >= 6
-FAR_RO_2 = 16382  # distant half of the extended span: require len >= 8
+# sparser rings).  OTZ_FAR_GATE env is a tuning knob for experiments; the
+# format is whatever the encoder chose (the decoder doesn't care).
+import os as _os
+
+FAR_RO_1 = 4094  # beyond the reference's span
+FAR_RO_2 = 16382  # distant half of the extended span
+_FAR_GATE = int(_os.environ.get("OTZ_FAR_GATE", "2"))
 
 
 def min_match_len_for_ro(ro):
     """Minimum acceptable match length given the reduced offset (works for
     numpy scalars and jnp arrays)."""
-    return LZ_MATCH_MIN_LEN + 2 * (ro >= FAR_RO_1) + 2 * (ro >= FAR_RO_2)
+    return LZ_MATCH_MIN_LEN + _FAR_GATE * (ro >= FAR_RO_1) + _FAR_GATE * (ro >= FAR_RO_2)
 
 # Max candidate depth per level: with exact-key grouping every candidate
 # shares the hashed dword, so depths are smaller than orz's chain-walk depths
 # (reference src/main.rs:97-101 walks 5/15/45 hash-chain nodes, most of which
 # fail the first dword test).
-LEVEL_CANDIDATES = {0: 4, 1: 8, 2: 24}
+LEVEL_CANDIDATES = {0: 4, 1: 8, 2: 32}
 
 # lazy-parse thresholds mirrored from the reference parse heuristics
 # (reference src/lz.rs:113-118): matches shorter than MAX_LEN/2 may be

@@ -48,6 +48,16 @@ def build_codecs(backend):
     import zlib as _zlib
 
     codecs = [(f"**orz-tpu -l{lv}**",) + _orz_codec(lv, backend) for lv in (0, 1, 2)]
+    try:  # TPU-engine row (OTZ format; runs on whatever jax device exists)
+        from orz_tpu.device.container import tpu_decode_bytes, tpu_encode_bytes
+
+        codecs.append((
+            "**orz-tpu -b tpu -l2**",
+            lambda d: tpu_encode_bytes(d, level=2),
+            tpu_decode_bytes,
+        ))
+    except Exception:
+        pass
     if shutil.which("gzip"):
         codecs.append(("gzip -6",) + _cli_codec(["gzip", "-6", "-c"], ["gzip", "-d", "-c"]))
     else:

@@ -43,10 +43,16 @@ struct BitDec {
 
   void reserve32() {
     if (nbits < 32) {
-      uint32_t w = 0;
-      for (int k = 0; k < 4; k++) {
-        uint8_t b = (pos + k < len) ? p[pos + k] : 0;  // zero slack past end
-        w = (w << 8) | b;
+      uint32_t w;
+      if (pos + 4 <= len) {  // fast path: unaligned big-endian load
+        memcpy(&w, p + pos, 4);
+        w = __builtin_bswap32(w);
+      } else {
+        w = 0;
+        for (int k = 0; k < 4; k++) {
+          uint8_t b = (pos + k < len) ? p[pos + k] : 0;  // zero slack
+          w = (w << 8) | b;
+        }
       }
       pos += 4;
       val = (val << 32) | w;
@@ -220,8 +226,10 @@ inline int alnum(uint8_t b) {
 
 struct Decoder {
   std::vector<uint8_t> buf;
-  std::vector<int32_t> ring;
-  int32_t ctx_count[NUM_CONTEXTS];
+  // per-context append-only position logs: sequential writes keep the 256
+  // active tails cache-resident (a flat (ctx, RING) ring array made every
+  // insert a ~60ns DRAM miss and dominated decode time)
+  std::vector<int32_t> ring_log[NUM_CONTEXTS];
   uint16_t words[WORD_TABLE_SIZE];
   SymRank sr;
   int64_t end = 0, done_ring = PAD_FRONT, done_word = PAD_FRONT;
@@ -244,8 +252,11 @@ struct Decoder {
 
     buf.assign(PAD_FRONT + raw_len + PAD_TAIL, 0);
     end = PAD_FRONT + raw_len;
-    ring.assign((size_t)NUM_CONTEXTS * RING, 0);
-    memset(ctx_count, 0, sizeof(ctx_count));
+    size_t est = (size_t)raw_len / 128 + 64;
+    for (int c = 0; c < NUM_CONTEXTS; c++) {
+      ring_log[c].clear();
+      ring_log[c].reserve(est);
+    }
     memset(words, 0, sizeof(words));
 
     int perm[N_SYM];
@@ -278,9 +289,7 @@ struct Decoder {
       for (int64_t it = 0; it < n_items; it++) {
         if (p >= end || bd.fail) return -5;
         while (done_ring < p) {
-          int cc = cctx_at(done_ring);
-          ring[(size_t)cc * RING + (ctx_count[cc] % RING)] = (int32_t)done_ring;
-          ctx_count[cc]++;
+          ring_log[cctx_at(done_ring)].push_back((int32_t)done_ring);
           done_ring++;
         }
         while (done_word <= p - 3) {
@@ -318,8 +327,9 @@ struct Decoder {
             lenid = (v - 256) % LENID_SIZE;
             if (roid >= ROID_SIZE) return -8;
             int ro = ROID.base[roid] + (int)bd.raw(ROID.bits[roid]);
-            if (ro >= ctx_count[c1] || ro >= RING) return -9;
-            q = ring[(size_t)c1 * RING + ((ctx_count[c1] - 1 - ro) % RING)];
+            const std::vector<int32_t>& log = ring_log[c1];
+            if ((size_t)ro >= log.size() || ro >= RING) return -9;
+            q = log[log.size() - 1 - (size_t)ro];
           }
           int eml = (lenid == LENID_SIZE - 1) ? tabC.decode(bd) : lenid;
           int match_len = eml + MATCH_MIN_LEN;

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import argparse
 import hashlib
-import io
 import shutil
 import subprocess
 import sys
@@ -43,7 +42,6 @@ def _orz_codec(level: int, backend):
 
 def build_codecs(backend):
     import bz2 as _bz2
-    import gzip as _gzip
     import lzma as _lzma
     import zlib as _zlib
 

@@ -10,8 +10,8 @@ SURVEY.md section 7, hard part 3).
 from __future__ import annotations
 
 from orz_tpu.device.spec import CHUNK_INPUT_DEFAULT
-from orz_tpu.ioutil import CountRead, CountWrite, read_len, write_len
-from orz_tpu.pcontainer import TPU_MAGIC, pipe_decode, pipe_encode
+from orz_tpu.ioutil import CountRead, CountWrite, write_len
+from orz_tpu.pcontainer import TPU_MAGIC, pipe_decode
 from orz_tpu.progress import ProgressLogger, SilentProgressLogger
 
 DEFAULT_SEGMENT_SIZE = 1 << 23  # 8 MiB

@@ -35,7 +35,7 @@ from orz_tpu.ops.analyze import analyze
 from orz_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()  # device programs are huge; cache them on disk
-from orz_tpu.ops.bitpack import Packed, pack_items
+from orz_tpu.ops.bitpack import pack_items
 from orz_tpu.ops.huffman import canonical_codes, pm_code_lens
 from orz_tpu.ops.parse import decisions, extract_items
 from orz_tpu.ops.symrank import transform as symrank_transform
@@ -45,10 +45,10 @@ N_SYM = SYMRANK_NUM_SYMBOLS
 
 class SegmentOut(NamedTuple):
     num_counted: jnp.ndarray  # scalar
-    census_order: jnp.ndarray  # (389,) init permutation (counted first)
-    lensA: jnp.ndarray  # (C, 389)
-    lensB: jnp.ndarray  # (C, 389)
-    lensC: jnp.ndarray  # (C, 389; first 240 meaningful)
+    census_order: jnp.ndarray  # (N_SYM,) init permutation (counted first)
+    lensA: jnp.ndarray  # (C, N_SYM)
+    lensB: jnp.ndarray  # (C, N_SYM)
+    lensC: jnp.ndarray  # (C, N_SYM; first 240 meaningful)
     words: jnp.ndarray  # (C, W) uint32
     bitlen: jnp.ndarray  # (C,)
     chunk_items: jnp.ndarray  # (C,)

@@ -19,12 +19,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 
 from orz_tpu.device.spec import (
     LZ_MATCH_MAX_LEN,
-    LZ_MATCH_MIN_LEN,
     PAD_FRONT,
     RING,
     _ALNUM,

@@ -13,13 +13,11 @@ Oracle: orz_tpu/device/refcodec.py parse_ref.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
 from jax import lax
 import jax.numpy as jnp
-import numpy as np
 
 from orz_tpu.device.spec import (
     LAZY_LEN_CAP,

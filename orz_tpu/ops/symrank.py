@@ -17,11 +17,10 @@ from __future__ import annotations
 
 from typing import NamedTuple, Tuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
-from orz_tpu.device.spec import SYMRANK_NUM_SYMBOLS, WORD_SYMBOL
+from orz_tpu.device.spec import SYMRANK_NUM_SYMBOLS
 
 NCTX = 512
 TOP = SYMRANK_NUM_SYMBOLS - 1  # 388 escape code

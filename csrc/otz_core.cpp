@@ -252,6 +252,12 @@ struct Decoder {
 
     buf.assign(PAD_FRONT + raw_len + PAD_TAIL, 0);
     end = PAD_FRONT + raw_len;
+    int pred_flag = (int)bd.raw(1);  // length-prediction header bit
+    std::vector<uint8_t> len_min_arr, expected_arr;
+    if (pred_flag) {
+      len_min_arr.assign(PAD_FRONT + raw_len, 0);
+      expected_arr.assign(PAD_FRONT + raw_len, 0);
+    }
     size_t est = (size_t)raw_len / 128 + 64;
     for (int c = 0; c < NUM_CONTEXTS; c++) {
       ring_log[c].clear();
@@ -332,8 +338,26 @@ struct Decoder {
             q = log[log.size() - 1 - (size_t)ro];
           }
           int eml = (lenid == LENID_SIZE - 1) ? tabC.decode(bd) : lenid;
-          int match_len = eml + MATCH_MIN_LEN;
-          if (q >= p || q < PAD_FRONT || p + match_len > end) return -10;
+          if (q >= p || q < PAD_FRONT) return -10;
+          int match_len;
+          if (pred_flag) {
+            // length prediction (refcodec parse_ref; the reference's
+            // len_min/len_expected rule, src/lz.rs:463-467)
+            int lm = len_min_arr[q];
+            if (lm < MATCH_MIN_LEN) lm = MATCH_MIN_LEN;
+            int ex = expected_arr[q];
+            if (ex < MATCH_MIN_LEN) ex = MATCH_MIN_LEN;
+            if (eml + lm > ex) match_len = eml + lm;
+            else if (eml > 0) match_len = eml + lm - 1;
+            else match_len = ex;
+            if (match_len < MATCH_MIN_LEN || match_len > MATCH_MAX_LEN) return -13;
+            if (len_min_arr[q] <= match_len)
+              len_min_arr[q] = (uint8_t)(match_len + 1 < 127 ? match_len + 1 : 127);
+            expected_arr[p] = (uint8_t)(match_len < 255 ? match_len : 255);
+          } else {
+            match_len = eml + MATCH_MIN_LEN;
+          }
+          if (p + match_len > end) return -10;
           for (int k = 0; k < match_len; k++) buf[p + k] = buf[q + k];
           last_dist = p - q;
           p += match_len;

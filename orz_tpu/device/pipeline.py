@@ -53,6 +53,7 @@ class SegmentOut(NamedTuple):
     bitlen: jnp.ndarray  # (C,)
     chunk_items: jnp.ndarray  # (C,)
     n_items: jnp.ndarray  # scalar
+    pred_len: jnp.ndarray  # scalar bool: length-prediction header bit
 
 
 def _w_cap(chunk_input: int) -> int:
@@ -136,6 +137,7 @@ def _entropy_stage(items, coded, valid, chunk_id, num_counted, census_order,
         packed.bitlen,
         packed.n_items,
         items.n_items,
+        items.pred_len,
     )
 
 
@@ -292,6 +294,7 @@ def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input
     bitlen = np.asarray(out.bitlen)
     chunk_items = np.asarray(out.chunk_items)
 
+    enc.encode_raw_bits(int(np.asarray(out.pred_len)), 1)  # prediction flag
     enc.encode_varint(num_counted)
     for s in order[:num_counted]:
         enc.encode_raw_bits(int(s), 9)

@@ -134,8 +134,9 @@ class Items:
     after_literal: np.ndarray  # table selector (state at item)
     robitlen: np.ndarray
     robits: np.ndarray
-    eml: np.ndarray  # encoded match length (len-4); huff C when >= 5
+    eml: np.ndarray  # encoded/predicted match length code; huff C when >= 5
     coded: np.ndarray = field(default=None)  # post-symrank symbol
+    pred_len: bool = True  # length prediction active (segment header bit)
 
 
 def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
@@ -182,8 +183,10 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
                     else:
                         blen = l16
         if bro >= 0:
-            blen = min(blen, end - p)
-            if blen >= min_match_len_for_ro(bro):
+            # no truncation at the segment end (like the reference's strict
+            # pos+len < sbuf_len rule, src/matcher.rs:161): truncating could
+            # break the len_min invariant behind length prediction
+            if p + blen <= end and blen >= min_match_len_for_ro(bro):
                 bestlen[p] = blen
                 bestro[p] = bro
                 bestq[p] = bq
@@ -264,11 +267,43 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int) -> Items:
             last = dist[i]
     rep0 = (kind == 2) & (dist == prev_dist) & (prev_dist > 0)
 
+    # length prediction (the reference's len_min/len_expected side-info,
+    # src/matcher.rs:32-50, src/lz.rs:173-177): both values are functions of
+    # the decoded item stream, so the decoder reconstructs them exactly.
+    # expected(q) = length coded if a match item started at q, else 0;
+    # len_min(q) = running min(127, max earlier match length against q + 1).
+    eml = np.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
+    q_arr = np.where(kind == 2, an.bestq[start], 0)
+    expected_arr = np.zeros(len(buf), dtype=np.int64)
+    len_min_arr = np.zeros(len(buf), dtype=np.int64)
+    pred_ok = True
+    for i in range(len(start)):
+        if kind[i] != 2:
+            continue
+        q = q_arr[i]
+        lm = max(len_min_arr[q], LZ_MATCH_MIN_LEN)
+        ex = max(expected_arr[q], LZ_MATCH_MIN_LEN)
+        L = length[i]
+        if L < lm:  # invariant miss (see docs/OTZ2_DESIGN.md): disable
+            pred_ok = False  # prediction for the segment via the header bit
+            break
+        if L > ex:
+            e = L - lm
+        elif L < ex:
+            e = L - lm + 1
+        else:
+            e = 0
+        eml[i] = e
+        if len_min_arr[q] <= L:
+            len_min_arr[q] = min(L + 1, 127)
+        expected_arr[start[i]] = L
+    if not pred_ok:
+        eml = np.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
+
     ro = an.bestro[start]
     roid = np.where(kind == 2, ROID_ENC[ro, 0], 0)
     robitlen = np.where((kind == 2) & ~rep0, ROID_ENC[ro, 1], 0)
     robits = np.where((kind == 2) & ~rep0, ROID_ENC[ro, 2], 0)
-    eml = np.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
     lenid = np.minimum(eml, LZ_LENID_SIZE - 1)
     symbol = np.where(
         kind == 2,
@@ -277,7 +312,8 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int) -> Items:
     )
     sr_ctx = an.cctx[start] | (after_literal << 8)
     sr_unlikely = an.pred[start] & 0xFF
-    return Items(start, kind, length, symbol, sr_ctx, sr_unlikely, after_literal, robitlen, robits, eml)
+    return Items(start, kind, length, symbol, sr_ctx, sr_unlikely, after_literal,
+                 robitlen, robits, eml, pred_len=pred_ok)
 
 
 def census_ref(symbols: np.ndarray):
@@ -311,6 +347,7 @@ def encode_segment_ref(data: bytes, level: int = 1, chunk_input: int = CHUNK_INP
     buf = pad_segment(data)
     an = analyze_ref(buf, len(data), candidate_depth(level))
     items = parse_ref(an, buf, len(data))
+    enc.encode_raw_bits(int(items.pred_len), 1)  # length-prediction flag
 
     n_chunks = n_chunks_for(len(data), chunk_input)
     chunk_id = (items.start - PAD_FRONT) // chunk_input
@@ -377,6 +414,7 @@ def decode_segment_ref(payload: bytes) -> bytes:
 
     buf = np.zeros(PAD_FRONT + raw_len + PAD_TAIL, dtype=np.uint8)
     end = PAD_FRONT + raw_len
+    pred_len = dec.decode_raw_bits(1)
 
     num_counted = dec.decode_varint()
     if num_counted > SYMRANK_NUM_SYMBOLS:
@@ -396,6 +434,8 @@ def decode_segment_ref(payload: bytes) -> bytes:
     words = np.zeros(WORD_TABLE_SIZE, dtype=np.int64)
     ring = np.zeros((NUM_CONTEXTS, RING), dtype=np.int64)
     ctx_count = np.zeros(NUM_CONTEXTS, dtype=np.int64)
+    expected_arr = np.zeros(len(buf), dtype=np.int64)
+    len_min_arr = np.zeros(len(buf), dtype=np.int64)
 
     _ALNUM = np.zeros(256, dtype=np.int64)
     for b in range(256):
@@ -476,8 +516,23 @@ def decode_segment_ref(payload: bytes) -> bytes:
                     eml = dec.decode_huffman_sym(tabC)
                 else:
                     eml = lenid
-                match_len = eml + LZ_MATCH_MIN_LEN
-                if q >= p or q < PAD_FRONT or p + match_len > end:
+                if q >= p or q < PAD_FRONT:
+                    raise OTZFormatError("bad match target")
+                if pred_len:
+                    lm = max(int(len_min_arr[q]), LZ_MATCH_MIN_LEN)
+                    ex = max(int(expected_arr[q]), LZ_MATCH_MIN_LEN)
+                    if eml + lm > ex:
+                        match_len = eml + lm
+                    elif eml > 0:
+                        match_len = eml + lm - 1
+                    else:
+                        match_len = ex
+                    if len_min_arr[q] <= match_len:
+                        len_min_arr[q] = min(match_len + 1, 127)
+                    expected_arr[p] = match_len
+                else:
+                    match_len = eml + LZ_MATCH_MIN_LEN
+                if match_len < LZ_MATCH_MIN_LEN or p + match_len > end:
                     raise OTZFormatError("bad match span")
                 for k in range(match_len):
                     buf[p + k] = buf[q + k]

@@ -127,6 +127,10 @@ class GoldenLZEncoder:
                         encoded_match_len = m.match_len - m.match_len_min + 1
                     else:
                         encoded_match_len = 0
+                    assert encoded_match_len >= 0, (
+                        "reference invariant: coded length never below the "
+                        "node's len_min (see docs/OTZ2_DESIGN.md)"
+                    )
                     lenid = min(LZ_LENID_SIZE - 1, encoded_match_len)
                     items.append(
                         _Item(

@@ -205,6 +205,11 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     _, alive_first = lax.sort(
         ((~alive).astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)), num_keys=2
     )
+    # pad with unique out-of-bounds indices so the last chunk's slice never
+    # clamps back onto already-extended lanes (re-extension double-counts)
+    alive_first = jnp.concatenate(
+        [alive_first, n + jnp.arange(k_sub, dtype=jnp.int32)]
+    )
     n_alive = alive.sum()
 
     def chunk_cond(carry):
@@ -214,9 +219,10 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     def chunk_body(carry):
         c, cur = carry
         sub_p = lax.dynamic_slice(alive_first, (c * k_sub,), (k_sub,))
-        sub_q = best_q[sub_p]
-        sub_cur = cur[sub_p]
-        sub_alive = alive[sub_p]
+        sub_pc = jnp.clip(sub_p, 0, n - 1)
+        sub_q = best_q[sub_pc]
+        sub_cur = cur[sub_pc]
+        sub_alive = alive[sub_pc] & (sub_p < n)
 
         def tail_cond(tc):
             k, scur, salive = tc
@@ -236,13 +242,20 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
             return k + 1, scur, salive & full
 
         _, sub_cur, _ = lax.while_loop(tail_cond, tail_round, (jnp.int32(3), sub_cur, sub_alive))
-        cur = cur.at[sub_p].set(sub_cur, unique_indices=True)
+        cur = cur.at[sub_p].set(sub_cur, mode="drop", unique_indices=True)
         return c + 1, cur
 
     _, cur = lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), cur))
 
-    blen = jnp.minimum(jnp.minimum(cur, LZ_MATCH_MAX_LEN), end - p)
-    has = (best_q >= 0) & (blen >= min_match_len_for_ro(best_ro)) & valid
+    # no truncation at the segment end (mirrors refcodec; keeps the len_min
+    # invariant behind length prediction)
+    blen = jnp.minimum(cur, LZ_MATCH_MAX_LEN)
+    has = (
+        (best_q >= 0)
+        & (blen >= min_match_len_for_ro(best_ro))
+        & (p + blen <= end)
+        & valid
+    )
     bestlen = jnp.where(has, blen, 0)
     bestro = jnp.where(has, best_ro, 0)
     bestq = jnp.where(has, best_q, 0)

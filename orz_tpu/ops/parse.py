@@ -52,6 +52,7 @@ class Items(NamedTuple):
     robitlen: jnp.ndarray
     robits: jnp.ndarray
     eml: jnp.ndarray
+    pred_len: jnp.ndarray  # scalar bool: length prediction active
 
 
 def decisions(an: Analysis, seg_len: jnp.ndarray, n: int) -> Decisions:
@@ -142,7 +143,42 @@ def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.n
     roid = ROID_ENC_J[ro, 0]
     robitlen = jnp.where((kind == 2) & ~rep0, ROID_ENC_J[ro, 1], 0)
     robits = jnp.where((kind == 2) & ~rep0, ROID_ENC_J[ro, 2], 0)
-    eml = jnp.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
+
+    # length prediction (refcodec parse_ref): expected(q) = length coded at
+    # item q if it was a match; len_min(q) at item i = min(127, 1 + max
+    # length of EARLIER matches targeting q) — an exclusive segmented
+    # running max over match items grouped by target.
+    n = dec.nxt.shape[0]
+    is_match = kind == 2
+    q_pos = jnp.where(is_match, an.bestq[start], 0)
+    is_item = jnp.zeros(n, bool).at[jnp.where(valid, start, n - 1)].set(True)
+    item_is_match = jnp.zeros(n, bool).at[
+        jnp.where(valid & is_match, start, n - 1)
+    ].set(True)
+    expected_q = jnp.where(
+        is_item[q_pos] & item_is_match[q_pos], dec.length[q_pos], 0
+    )
+
+    key = jnp.where(is_match & valid, q_pos, n)  # group match items by target
+    skey, sidx = lax.sort((key, m_ids), num_keys=2)
+    L_sorted = jnp.where(is_match, length, 0)[sidx]
+    first = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
+    gid = jnp.cumsum(first.astype(jnp.int32))
+    incl = lax.cummax(L_sorted + gid * 512) - gid * 512  # in-group cummax
+    excl = jnp.where(
+        first, 0, jnp.concatenate([jnp.zeros(1, jnp.int32), incl[:-1]])
+    )
+    prev_max_l = jnp.zeros(m, jnp.int32).at[sidx].set(excl, unique_indices=True)
+    len_min_q = jnp.where(prev_max_l > 0, jnp.minimum(prev_max_l + 1, 127), 0)
+
+    lm = jnp.maximum(len_min_q, LZ_MATCH_MIN_LEN)
+    ex = jnp.maximum(expected_q, LZ_MATCH_MIN_LEN)
+    e_pred = jnp.where(
+        length > ex, length - lm, jnp.where(length < ex, length - lm + 1, 0)
+    )
+    pred_ok = ~jnp.any(is_match & (length < lm))
+    eml_raw = jnp.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
+    eml = jnp.where(is_match & pred_ok, e_pred, eml_raw)
     lenid = jnp.minimum(eml, LZ_LENID_SIZE - 1)
     symbol = jnp.where(
         kind == 2,
@@ -153,5 +189,5 @@ def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.n
     sr_unlikely = an.pred[start] & 0xFF
     return Items(
         start, n_items, kind, length, symbol, sr_ctx, sr_unlikely,
-        after_literal, robitlen, robits, eml,
+        after_literal, robitlen, robits, eml, pred_ok,
     )

@@ -87,7 +87,7 @@ def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.n
     m = n - PAD_FRONT  # max possible items
     end = PAD_FRONT + seg_len
 
-    LOCAL_BITS = 7
+    LOCAL_BITS = 5
     stride = 1 << LOCAL_BITS
     jumps = [dec.nxt]
     for _ in range(LOCAL_BITS):

@@ -158,7 +158,7 @@ def _bucket_capacity(n: int) -> int:
 # symrank kernel plus entropy coding.
 
 
-@partial(jax.jit, static_argnames=("depth",))
+@partial(jax.jit, static_argnames=("depth",), donate_argnums=(0,))
 def encode_front_jit(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int):
     n = buf.shape[0]
     an = analyze(buf, seg_len, depth)
@@ -173,7 +173,7 @@ def encode_front_jit(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int):
     return items, rounds
 
 
-@partial(jax.jit, static_argnames=("chunk_input", "c_max", "r_cap"))
+@partial(jax.jit, static_argnames=("chunk_input", "c_max", "r_cap"), donate_argnums=(0,))
 def encode_back_jit(items, chunk_input: int, c_max: int, r_cap: int) -> SegmentOut:
     from orz_tpu.ops.symrank_pallas import symrank_pallas
 
@@ -290,9 +290,15 @@ def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input
     lensA = np.asarray(out.lensA)
     lensB = np.asarray(out.lensB)
     lensC = np.asarray(out.lensC)
-    words = np.asarray(out.words)
     bitlen = np.asarray(out.bitlen)
     chunk_items = np.asarray(out.chunk_items)
+    # fetch only the used prefix of each chunk's word buffer: the full
+    # (C, W_cap) array is ~100x larger than the payload, and device->host
+    # transfers ride a slow tunnel on remote-TPU setups
+    words = [
+        np.asarray(out.words[k, : (int(bitlen[k]) + 31) // 32])
+        for k in range(out.words.shape[0])
+    ]
 
     enc.encode_raw_bits(int(np.asarray(out.pred_len)), 1)  # prediction flag
     enc.encode_varint(num_counted)

@@ -33,16 +33,18 @@ def tpu_encode(
     source,
     target,
     level: int = 2,
-    num_streams: int = 2,  # kept for API parity; batching replaces threads
+    num_streams: int | None = None,  # alias for `batch` (CLI -p)
     segment_size: int = DEFAULT_SEGMENT_SIZE,
     chunk_input: int = CHUNK_INPUT_DEFAULT,
     batch: int = DEFAULT_BATCH,
     progress: ProgressLogger | None = None,
 ) -> None:
-    """Stream-encode into the ORZT container, batching `batch` segments per
-    device dispatch: the symrank scan and all sorts run lockstep across the
-    batch, amortizing per-step loop overhead over B segments of lanes."""
-    del num_streams
+    """Stream-encode into the ORZT container with `batch` segments in
+    flight: device dispatch of segment i+1..i+batch overlaps host assembly
+    of segment i (all dispatches are async; only the symrank round count
+    syncs early).  `num_streams` (the CLI's -p) is an alias for `batch`."""
+    if num_streams is not None:
+        batch = num_streams
     from orz_tpu.device.pipeline import (
         dispatch_segment_back,
         dispatch_segment_front,

@@ -18,8 +18,8 @@ reference src/coder.rs:159-216):
     9 bits x num_counted                    # (reference src/lz.rs:238-265)
     per chunk (ceil(raw_len / chunk_input) of them):
         varint n_items
-        huffman table A (425 syms, after_literal=1)
-        huffman table B (425 syms, after_literal=0)
+        huffman table A (431 syms, after_literal=1)
+        huffman table B (431 syms, after_literal=0)
         huffman table C (240 syms, match length extension)
         per item: huff A/B code; [match] robits raw bits;
                   [lenid == 5] huff C code
@@ -52,7 +52,7 @@ Model semantics (all bytes-only; b is the padded buffer, data in
         no match: WORD if wordmatch(p) and not (bestlen(p) >= 4 and lazy1)
                   and p+2 <= end, else LITERAL
     items: literal -> symbol b[p], len 1, after_literal := True
-           word    -> symbol WORD_SYMBOL (424), len 2, after_literal := False
+           word    -> symbol WORD_SYMBOL (430), len 2, after_literal := False
            match   -> symbol 256 + roid*6 + min(5, len-4), len bytes,
                       after_literal := False
     symrank context = cctx(p) | after_literal << 8 (state at the item,
@@ -71,6 +71,7 @@ from typing import List
 
 import numpy as np
 
+from orz_tpu.constants import HUFFMAN_MAX_CODE_LEN
 from orz_tpu.device.pm_huffman import pm_code_lens
 from orz_tpu.device.spec import (
     CHUNK_INPUT_DEFAULT,
@@ -461,6 +462,11 @@ def decode_segment_ref(payload: bytes) -> bytes:
             code_lens, max_len = dec.decode_huffman_table()
             if len(code_lens) > nsym:
                 raise OTZFormatError("oversized huffman table")
+            # a corrupt stream could claim a huge max_len and the LUT below
+            # allocates 1 << max_len entries; the format never exceeds 15
+            # (mirrors csrc/otz_core.cpp HuffDec::build)
+            if max_len > HUFFMAN_MAX_CODE_LEN:
+                raise OTZFormatError("huffman code length over limit")
             tabs.append(HuffmanDecoding(code_lens, max_len))
         tabA, tabB, tabC = tabs
 

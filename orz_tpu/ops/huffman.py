@@ -3,7 +3,7 @@
 The jitted twin of orz_tpu/device/pm_huffman.py: identical algorithm
 (boundary package-merge), identical tie-breaking (stable sort of
 [leaves ++ packages] by value), so device and host derive identical code
-lengths.  All tables are padded to the 425-symbol OTZ alphabet; zero-weight
+lengths.  All tables are padded to the 431-symbol OTZ alphabet; zero-weight
 padding symbols are inert and receive length 0.
 """
 
@@ -16,7 +16,7 @@ from jax import lax
 from orz_tpu.constants import HUFFMAN_MAX_CODE_LEN
 from orz_tpu.device.spec import SYMRANK_NUM_SYMBOLS
 
-N_SYM = SYMRANK_NUM_SYMBOLS  # 425
+N_SYM = SYMRANK_NUM_SYMBOLS  # 431
 INF = jnp.int32(1) << 28  # weights are < 2^21; INF+INF stays < 2^31
 
 

@@ -31,7 +31,7 @@ from orz_tpu.device.spec import (
 )
 from orz_tpu.ops.analyze import Analysis, _shift_left
 
-ROID_ENC_J = jnp.asarray(ROID_ENC)  # (4094, 3): roid, robitlen, robits
+ROID_ENC_J = jnp.asarray(ROID_ENC)  # (32766, 3): roid, robitlen, robits
 
 
 class Decisions(NamedTuple):
@@ -164,7 +164,13 @@ def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.n
     L_sorted = jnp.where(is_match, length, 0)[sidx]
     first = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
     gid = jnp.cumsum(first.astype(jnp.int32))
-    incl = lax.cummax(L_sorted + gid * 512) - gid * 512  # in-group cummax
+    # keyed cummax in int64: lengths are < 512, so gid*512 keys the groups;
+    # int32 would overflow once gid exceeds ~4.2M (segment_size >= ~16 MiB
+    # with dense 4-byte matches) and silently corrupt eml values
+    incl = (
+        lax.cummax(L_sorted.astype(jnp.int64) + gid.astype(jnp.int64) * 512)
+        - gid.astype(jnp.int64) * 512
+    ).astype(jnp.int32)  # in-group cummax
     excl = jnp.where(
         first, 0, jnp.concatenate([jnp.zeros(1, jnp.int32), incl[:-1]])
     )

@@ -33,8 +33,8 @@ from jax.experimental.pallas import tpu as pltpu
 from orz_tpu.device.spec import SYMRANK_NUM_SYMBOLS
 
 C = 512  # symrank contexts
-S = SYMRANK_NUM_SYMBOLS  # 509
-S_PAD = -(-S // 8) * 8  # pad to a multiple of 8 sublanes (512)
+S = SYMRANK_NUM_SYMBOLS  # 431
+S_PAD = -(-S // 8) * 8  # pad to a multiple of 8 sublanes (432)
 TOP = S - 1
 RB_BLK = 256  # schedule rows per grid step
 R_CAP_MAX = 1 << 19  # fall back to the XLA scan beyond this many rounds (schedule array stays ~1 GB)

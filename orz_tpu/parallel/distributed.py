@@ -28,11 +28,30 @@ from orz_tpu.ioutil import write_len
 from orz_tpu.pcontainer import TPU_MAGIC
 
 
-def maybe_initialize() -> None:
-    """jax.distributed.initialize from standard env, if configured."""
-    import jax
+_initialized = False
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") and jax.process_count() == 1:
+
+def maybe_initialize() -> None:
+    """jax.distributed.initialize from standard env, if configured.
+
+    Must run before any other jax API call (anything that touches backends
+    makes a later initialize() fail), so the guard is a module flag plus the
+    distributed client's own state — NOT jax.process_count(), which would
+    itself initialize the local backend and always report 1 pre-init.
+    """
+    global _initialized
+    if _initialized or not os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        return
+    _initialized = True
+    try:
+        from jax._src import distributed as _jax_distributed
+
+        already = _jax_distributed.global_state.client is not None
+    except Exception:
+        already = False
+    if not already:
+        import jax
+
         jax.distributed.initialize()
 
 

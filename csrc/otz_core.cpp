@@ -29,6 +29,7 @@ constexpr int WORD_SYMBOL = 430;
 constexpr int REP0_BASE = 424;  // 424..429: rep0 match, lenid 0..5
 constexpr int LENID_SIZE = 6;
 constexpr int MATCH_MIN_LEN = 4;
+constexpr int FENCE = 512;  // parse fence (device/spec.py): caps len_min
 constexpr int MATCH_MAX_LEN = 240;
 constexpr int WORD_TABLE_SIZE = 1 << 15;
 constexpr int NCTX_SR = 512;
@@ -342,9 +343,14 @@ struct Decoder {
           int match_len;
           if (pred_flag) {
             // length prediction (refcodec parse_ref; the reference's
-            // len_min/len_expected rule, src/lz.rs:463-467)
+            // len_min/len_expected rule, src/lz.rs:463-467).  The len_min
+            // floor is capped by the parse-fence room at p (the encoder
+            // truncates matches at FENCE boundaries; see device/spec.py).
             int lm = len_min_arr[q];
             if (lm < MATCH_MIN_LEN) lm = MATCH_MIN_LEN;
+            int room = FENCE - ((p - PAD_FRONT) & (FENCE - 1));
+            if (end - p < room) room = end - p;
+            if (lm > room) lm = room;
             int ex = expected_arr[q];
             if (ex < MATCH_MIN_LEN) ex = MATCH_MIN_LEN;
             if (eml + lm > ex) match_len = eml + lm;

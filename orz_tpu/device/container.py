@@ -48,6 +48,7 @@ def tpu_encode(
     from orz_tpu.device.pipeline import (
         dispatch_segment_back,
         dispatch_segment_front,
+        dispatch_segment_mid,
         finish_segment,
     )
 
@@ -86,7 +87,8 @@ def tpu_encode(
             inflight.append((seg, dispatch_segment_front(seg, level, chunk_input)))
         if inflight:
             seg, front = inflight.pop(0)
-            back = dispatch_segment_back(front)  # syncs only the round count
+            mid = dispatch_segment_mid(front)  # syncs n_items
+            back = dispatch_segment_back(mid)  # syncs the symrank plan
             payload = finish_segment(seg, back, chunk_input)
             write_len(target, len(payload))
             target.write(payload)

@@ -37,7 +37,7 @@ from orz_tpu.utils import enable_compilation_cache
 enable_compilation_cache()  # device programs are huge; cache them on disk
 from orz_tpu.ops.bitpack import pack_items
 from orz_tpu.ops.huffman import canonical_codes, pm_code_lens
-from orz_tpu.ops.parse import decisions, extract_items
+from orz_tpu.ops.parse import build_items, decisions, extract_items
 from orz_tpu.ops.symrank import transform as symrank_transform
 
 N_SYM = SYMRANK_NUM_SYMBOLS
@@ -149,32 +149,48 @@ def _bucket_capacity(n: int) -> int:
     return cap
 
 
-# --- staged path: XLA front + Pallas symrank + XLA back -------------------
+# --- staged path: three jit programs --------------------------------------
 #
-# The symrank schedule's row count (max items in any context) is
-# data-dependent, but a Pallas input needs a static shape.  The pipeline is
-# split in two jitted programs: the front returns the round count, the host
-# buckets it, and the back (compiled per bucket) runs the VMEM-resident
-# symrank kernel plus entropy coding.
+# FRONT (n-space): analyze + decisions + fence-block walk -> compacted item
+#   starts and n_items.  Host syncs n_items and picks the item-capacity
+#   bucket M_CAP, so every item-space op downstream costs ~n_items, not n.
+# MID (M_CAP): gathers per-item fields, builds the Items arrays, and
+#   computes the symrank plan scalars (r1, rounds) for the host to bucket.
+# BACK (M_CAP, r1_cap, rm_cap): census + Pallas symrank + entropy + packing.
+#
+# Each host sync is one small fetch (~tunnel latency); with several
+# segments in flight the syncs of one segment overlap device work of the
+# others.
 
 
 @partial(jax.jit, static_argnames=("depth",), donate_argnums=(0,))
 def encode_front_jit(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int):
+    from orz_tpu.ops.parse import pack_fields, walk_items
+
     n = buf.shape[0]
     an = analyze(buf, seg_len, depth)
     dec = decisions(an, seg_len, n)
-    items = extract_items(dec, an, buf, seg_len)
-    m = items.start.shape[0]
-    valid = jnp.arange(m, dtype=jnp.int32) < items.n_items
-    per_ctx = jnp.zeros(513, jnp.int32).at[
-        jnp.where(valid, items.sr_ctx, 512)
-    ].add(1)
-    rounds = per_ctx[:512].max()
-    return items, rounds
+    starts, n_items = walk_items(dec, seg_len, n)
+    pk1 = pack_fields(an, dec)
+    return starts, n_items, pk1, an.bestq, an.bestro, buf
 
 
-@partial(jax.jit, static_argnames=("chunk_input", "c_max", "r_cap"), donate_argnums=(0,))
-def encode_back_jit(items, chunk_input: int, c_max: int, r_cap: int) -> SegmentOut:
+@partial(jax.jit, static_argnames=("m_cap",), donate_argnums=(0, 2, 3, 4))
+def encode_mid_jit(starts, n_items, pk1, bestq, bestro, buf, seg_len,
+                   m_cap: int):
+    from orz_tpu.ops.symrank_pallas import plan_stats
+
+    items = build_items(
+        starts[:m_cap], n_items, pk1, bestq, bestro, buf, seg_len
+    )
+    r1, rounds = plan_stats(items.sr_ctx, items.n_items)
+    return items, r1, rounds
+
+
+@partial(jax.jit, static_argnames=("chunk_input", "c_max", "r1_cap", "rm_cap"),
+         donate_argnums=(0,))
+def encode_back_jit(items, chunk_input: int, c_max: int, r1_cap: int,
+                    rm_cap: int) -> SegmentOut:
     from orz_tpu.ops.symrank_pallas import symrank_pallas
 
     m = items.start.shape[0]
@@ -191,7 +207,7 @@ def encode_back_jit(items, chunk_input: int, c_max: int, r_cap: int) -> SegmentO
 
     coded = symrank_pallas(
         items.symbol, items.sr_unlikely, items.sr_ctx, items.n_items,
-        census_order, r_cap,
+        census_order, r1_cap, rm_cap,
     )
     return _entropy_stage(items, coded, valid, chunk_id, num_counted,
                           census_order, chunk_input, c_max)
@@ -204,8 +220,9 @@ def dispatch_segment_front(data: bytes, level: int, chunk_input: int):
     cap = _bucket_capacity(len(data))
     buf = np.zeros(PAD_FRONT + cap + PAD_TAIL, dtype=np.uint8)
     buf[PAD_FRONT : PAD_FRONT + len(data)] = np.frombuffer(data, dtype=np.uint8)
-    items, rounds = encode_front_jit(
-        jnp.asarray(buf), jnp.int32(len(data)), candidate_depth(level)
+    seg_len = jnp.int32(len(data))
+    starts, n_items, pk1, bestq, bestro, buf_d = encode_front_jit(
+        jnp.asarray(buf), seg_len, candidate_depth(level)
     )
     return {
         "empty": False,
@@ -213,29 +230,56 @@ def dispatch_segment_front(data: bytes, level: int, chunk_input: int):
         "level": level,
         "chunk_input": chunk_input,
         "c_max": n_chunks_for(cap, chunk_input),
-        "items": items,
-        "rounds": rounds,
+        "seg_len": seg_len,
+        "front": (starts, n_items, pk1, bestq, bestro, buf_d),
     }
 
 
-def dispatch_segment_back(front):
-    """Sync the round count, dispatch the back program (async)."""
-    from orz_tpu.ops.symrank_pallas import R_CAP_MAX, RB_BLK
-
+def dispatch_segment_mid(front):
+    """Sync n_items, dispatch the item-build program at the M_CAP bucket."""
     if front["empty"]:
         return front
-    r = int(front["rounds"])  # the only host sync before assembly
-    if r > R_CAP_MAX:  # pathological skew: all items in one context
+    starts, n_items, pk1, bestq, bestro, buf_d = front["front"]
+    m_cap = _bucket(max(int(n_items), 1), 1 << 14, 2)
+    items, r1, rounds = encode_mid_jit(
+        starts, n_items, pk1, bestq, bestro, buf_d, front["seg_len"],
+        m_cap,
+    )
+    out = dict(front)
+    out["items"] = items
+    out["r1"] = r1
+    out["rounds"] = rounds
+    return out
+
+
+def _bucket(n: int, lo: int, factor: int = 4) -> int:
+    """Power-of-`factor` shape bucket starting at `lo` (coarse buckets keep
+    the number of compiled kernel variants small)."""
+    cap = lo
+    while cap < n:
+        cap *= factor
+    return cap
+
+
+def dispatch_segment_back(mid):
+    """Sync the symrank plan scalars, dispatch the back program (async)."""
+    from orz_tpu.ops.symrank_pallas import R_CAP_MAX, RB_BLK
+
+    if mid["empty"]:
+        return mid
+    r1 = int(mid["r1"])
+    r = int(mid["rounds"])
+    if r - r1 > R_CAP_MAX:  # pathological skew: all items in one context
         return {
             "empty": False,
             "fallback": encode_segment_device(
-                front["data"], level=front["level"], chunk_input=front["chunk_input"]
+                mid["data"], level=mid["level"], chunk_input=mid["chunk_input"]
             ),
         }
-    r_cap = RB_BLK
-    while r_cap < r:
-        r_cap *= 2
-    out = encode_back_jit(front["items"], front["chunk_input"], front["c_max"], r_cap)
+    r1_cap = _bucket(r1, RB_BLK)
+    rm_cap = _bucket(max(r - r1, 1), 4 * RB_BLK)
+    out = encode_back_jit(mid["items"], mid["chunk_input"], mid["c_max"],
+                          r1_cap, rm_cap)
     return {"empty": False, "fallback": None, "out": out}
 
 
@@ -259,7 +303,8 @@ def encode_segment_staged(
 ) -> bytes:
     """Device encode via the staged (Pallas symrank) path."""
     front = dispatch_segment_front(data, level, chunk_input)
-    back = dispatch_segment_back(front)
+    mid = dispatch_segment_mid(front)
+    back = dispatch_segment_back(mid)
     return finish_segment(data, back, chunk_input)
 
 

@@ -75,6 +75,7 @@ from orz_tpu.constants import HUFFMAN_MAX_CODE_LEN
 from orz_tpu.device.pm_huffman import pm_code_lens
 from orz_tpu.device.spec import (
     CHUNK_INPUT_DEFAULT,
+    FENCE,
     LAZY_LEN_CAP,
     REP0_BASE,
     LZ_LENID_SIZE,
@@ -166,28 +167,29 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
         pred[p] = words[h2[p - 1]]
         rank[p] = ctx_count[cctx[p]]
 
-        # candidate search among the last `depth` same-key positions
+        # candidate search among the last `depth` same-key positions.
+        # Match lengths are capped by the parse fence (and segment end)
+        # BEFORE scoring, so far offsets are never spent on capped lengths
+        # and no item ever crosses a fence (ops/analyze.py mirrors this).
+        cap = min(FENCE - ((p - PAD_FRONT) % FENCE), end - p)
         chain = chains.get(mkey[p])
-        best16, bro, blen, bq = 0, -1, 0, 0
+        best32, bro, blen, bq = 0, -1, 0, 0
         if chain:
             for q in chain[-1 : -depth - 1 : -1]:
                 ro = rank[p] - 1 - rank[q]
                 if ro >= RING:
                     continue
-                l16 = _lcp(buf, q, p, 16)
-                if l16 < min_match_len_for_ro(ro):
+                l32 = min(_lcp(buf, q, p, 32), cap)
+                if l32 < min_match_len_for_ro(ro):
                     continue  # far offsets must pay for their raw bits
-                if l16 > best16:
-                    best16, bro, bq = l16, ro, q
-                    if l16 >= 16:
-                        blen = _lcp(buf, q, p, LZ_MATCH_MAX_LEN)
+                if l32 > best32:
+                    best32, bro, bq = l32, ro, q
+                    if l32 >= 32:
+                        blen = min(_lcp(buf, q, p, LZ_MATCH_MAX_LEN), cap)
                     else:
-                        blen = l16
+                        blen = l32
         if bro >= 0:
-            # no truncation at the segment end (like the reference's strict
-            # pos+len < sbuf_len rule, src/matcher.rs:161): truncating could
-            # break the len_min invariant behind length prediction
-            if p + blen <= end and blen >= min_match_len_for_ro(bro):
+            if blen >= min_match_len_for_ro(bro):
                 bestlen[p] = blen
                 bestro[p] = bro
                 bestq[p] = bq
@@ -238,7 +240,8 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int) -> Items:
             kinds.append(2)
             lengths.append(blen)
             p += blen
-        elif an.wordmatch[p] and not lazy1 and p + 2 <= end:
+        elif (an.wordmatch[p] and not lazy1 and p + 2 <= end
+              and FENCE - ((p - PAD_FRONT) % FENCE) >= 2):
             starts.append(p)
             kinds.append(1)
             lengths.append(2)
@@ -282,7 +285,10 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int) -> Items:
         if kind[i] != 2:
             continue
         q = q_arr[i]
-        lm = max(len_min_arr[q], LZ_MATCH_MIN_LEN)
+        # len_min floor capped by the fence room at the consuming position:
+        # fence-truncated matches would otherwise break the invariant
+        room = min(FENCE - ((int(start[i]) - PAD_FRONT) % FENCE), end - int(start[i]))
+        lm = min(max(len_min_arr[q], LZ_MATCH_MIN_LEN), room)
         ex = max(expected_arr[q], LZ_MATCH_MIN_LEN)
         L = length[i]
         if L < lm:  # invariant miss (see docs/OTZ2_DESIGN.md): disable
@@ -525,7 +531,8 @@ def decode_segment_ref(payload: bytes) -> bytes:
                 if q >= p or q < PAD_FRONT:
                     raise OTZFormatError("bad match target")
                 if pred_len:
-                    lm = max(int(len_min_arr[q]), LZ_MATCH_MIN_LEN)
+                    room = min(FENCE - ((p - PAD_FRONT) % FENCE), end - p)
+                    lm = min(max(int(len_min_arr[q]), LZ_MATCH_MIN_LEN), room)
                     ex = max(int(expected_arr[q]), LZ_MATCH_MIN_LEN)
                     if eml + lm > ex:
                         match_len = eml + lm

@@ -56,6 +56,19 @@ SYMRANK_NUM_SYMBOLS = REP0_BASE + LZ_LENID_SIZE + 1  # 431
 WORD_SYMBOL = SYMRANK_NUM_SYMBOLS - 1  # 430
 CHUNK_INPUT_DEFAULT = 1 << 21  # input bytes per entropy chunk (own tables)
 
+# ids per extra-bit level in the extended schedule, as a shift: roid =
+# (level << ROID_GROUP_BITS) + (off >> level) (see ops/parse.py roid_of_ro)
+ROID_GROUP_BITS = 1  # log2(OTZ_ROID_GROUP)
+
+# Parse fence: no item may cross a FENCE-aligned boundary (relative to the
+# segment start).  Encoder-side this truncates matches (the analyze cap) and
+# blocks fence-straddling word items; it is what makes item extraction a
+# parallel per-block walk (ops/parse.py walk_items).  It leaks into the
+# format ONLY through the length-prediction floor: len_min is capped by the
+# fence room at the consuming position, so decoders apply the same cap
+# (refcodec decode / csrc/otz_core.cpp).
+FENCE = 512
+
 # price gate: far reduced offsets cost 11-13 raw bits, so a minimum match
 # length scales with offset distance (near orz's implicit pricing via its
 # sparser rings).  OTZ_FAR_GATE env is a tuning knob for experiments; the

@@ -10,6 +10,24 @@ This is the TPU answer to the reference's sequentially-threaded match finder
 parse loop): because OTZ model state is bytes-only, the chain walk becomes
 "j-th previous same-key position" over a stable sort, and the LCP loop
 becomes vectorized 4-byte block compares over all candidates at once.
+
+v2 design rules (driven by measured primitive costs on TPU v5e — see
+tools/prim_bench.py: lax.sort ~8 ms @ 4Mi with payloads nearly free,
+gather ~30 ms, scatter ~24 ms, elementwise ~free):
+
+- NO full-size gathers or scatters.  Every change of ordering is a stable
+  sort that CARRIES its operands as payload arrays, and results return to
+  position order by sorting on the stored position (7.5 ms) instead of
+  scattering (24 ms).
+- The candidate depth loop runs on sorted arrays via vector shifts only.
+- Initial LCP window is 32 bytes (8 payload dwords), so the slow
+  gather-based extension only runs for the ~1-2% of positions whose match
+  reaches 32 bytes, on compacted arrays.
+- alnum() is arithmetic (a 256-entry table lookup is a gather).
+- Match lengths are capped at the parse fence (spec.FENCE): no item crosses
+  a fence, which is what makes phase-2 item extraction a parallel per-block
+  walk.  The cap applies BEFORE candidate scoring so far offsets are not
+  wasted on capped lengths.
 """
 
 from __future__ import annotations
@@ -22,15 +40,15 @@ import jax.numpy as jnp
 from jax import lax
 
 from orz_tpu.device.spec import (
+    FENCE,
     LZ_MATCH_MAX_LEN,
     PAD_FRONT,
     RING,
-    _ALNUM,
     min_match_len_for_ro,
 )
-from orz_tpu.ops.groups import group_prev_from_sorted, group_rank_from_sorted, sort_by_key
 
-ALNUM_TABLE = jnp.asarray(_ALNUM, dtype=jnp.int32)
+LCP0 = 32  # initial (sort-payload) LCP window in bytes
+N_DW = LCP0 // 4
 
 
 class ByteArrays(NamedTuple):
@@ -45,7 +63,7 @@ class Analysis(NamedTuple):
     rank: jnp.ndarray  # in-context insertion rank
     pred: jnp.ndarray  # predicted word (int32, LE)
     wordmatch: jnp.ndarray  # bool
-    bestlen: jnp.ndarray  # int32, 0 when no match
+    bestlen: jnp.ndarray  # int32, 0 when no match (fence/end-capped)
     bestro: jnp.ndarray  # int32 reduced offset (valid iff bestlen >= 4)
     bestq: jnp.ndarray  # int32 winning match position (for rep-distance)
 
@@ -58,12 +76,19 @@ def _shift_left(x: jnp.ndarray, k: int):
     return jnp.roll(x, -k)
 
 
+def _alnum(b: jnp.ndarray) -> jnp.ndarray:
+    """is-ASCII-alphanumeric, arithmetically (no table gather)."""
+    digit = (b >= 48) & (b <= 57)
+    letter = ((b | 32) >= 97) & ((b | 32) <= 122)
+    return (digit | letter).astype(jnp.int32)
+
+
 def byte_arrays(buf: jnp.ndarray) -> ByteArrays:
     """Vector per-position model keys (mirrors device/spec.py helpers)."""
     b = buf.astype(jnp.int32)
     prev1 = _shift_right(b, 1)
     prev2 = _shift_right(b, 2)
-    cctx = (prev1 & 0x7F) | (ALNUM_TABLE[prev2] << 7)
+    cctx = (prev1 & 0x7F) | (_alnum(prev2) << 7)
     h2 = (b & 0x7F) | (cctx << 7)
     bu = buf.astype(jnp.uint32)
     dw = (
@@ -77,46 +102,95 @@ def byte_arrays(buf: jnp.ndarray) -> ByteArrays:
     return ByteArrays(cctx, h2, mkey, dw)
 
 
+def _sort_back(pos: jnp.ndarray, payloads):
+    """Return payloads to position order: sort by the stored position."""
+    out = lax.sort((pos,) + tuple(payloads), num_keys=1)
+    return out[1:]
+
+
 def word_predictions(ba: ByteArrays, buf: jnp.ndarray, end: jnp.ndarray) -> jnp.ndarray:
     """pred[p] = word-table value seen at p: the 2 bytes following the last
     position u <= p-3 whose key h2(u) equals h2(p-1); 0 if none."""
     n = buf.shape[0]
     x = jnp.arange(n, dtype=jnp.int32)
     valid_x = (x >= PAD_FRONT - 1) & (x < end)
-    sk, sp = sort_by_key(ba.h2, valid_x)
-    prev1 = group_prev_from_sorted(sk, sp, 1)
-    prev2 = group_prev_from_sorted(sk, sp, 2)
-    # the last same-key u <= x-2 (prev1 may be x-1, then prev2 qualifies)
-    u = jnp.where(prev1 <= x - 2, prev1, prev2)
-    u_ok = u >= PAD_FRONT
-    uc = jnp.clip(u, 0, n - 1)
     b = buf.astype(jnp.int32)
-    val = b[jnp.clip(uc + 1, 0, n - 1)] | b[jnp.clip(uc + 2, 0, n - 1)] << 8
-    pred_at_x = jnp.where(u_ok, val, 0)
-    return _shift_right(pred_at_x, 1)  # pred for position p lives at x = p-1
+    val_at = _shift_left(b, 1) | _shift_left(b, 2) << 8  # (b[x+1], b[x+2])
+
+    k = jnp.where(valid_x, ba.h2, jnp.int32(0x7FFFFFFF))
+    sk, sp, sval = lax.sort((k, x, val_at), num_keys=2)
+
+    def shift_dn(arr, j, fill):
+        return jnp.concatenate([jnp.full(j, fill, arr.dtype), arr[:-j]])
+
+    same1 = shift_dn(sk, 1, -1) == sk
+    same2 = shift_dn(sk, 2, -1) == sk
+    p1 = jnp.where(same1, shift_dn(sp, 1, -1), -1)
+    p2 = jnp.where(same2, shift_dn(sp, 2, -1), -1)
+    v1 = shift_dn(sval, 1, 0)
+    v2 = shift_dn(sval, 2, 0)
+    # the last same-key u <= x-2 (prev1 may be x-1, then prev2 qualifies)
+    use2 = p1 > sp - 2
+    u = jnp.where(use2, p2, p1)
+    uval = jnp.where(use2, v2, v1)
+    pred_s = jnp.where(u >= PAD_FRONT, uval, 0)
+    (pred_at_x,) = _sort_back(sp, (pred_s,))
+    pred = _shift_right(pred_at_x, 1)  # pred for position p lives at x = p-1
+    p = jnp.arange(n, dtype=jnp.int32)
+    return jnp.where((p >= PAD_FRONT) & (p < end), pred, 0)
 
 
-def _lcp_block(xor0, xor1, xor2, xor3):
+def context_ranks(ba: ByteArrays, valid: jnp.ndarray) -> jnp.ndarray:
+    """rank[p] = number of valid positions q < p with cctx(q) == cctx(p)."""
+    n = ba.cctx.shape[0]
+    x = jnp.arange(n, dtype=jnp.int32)
+    k = jnp.where(valid, ba.cctx, jnp.int32(0x7FFFFFFF))
+    sk, sp = lax.sort((k, x), num_keys=2)
+    first = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    gstart = lax.cummax(jnp.where(first, x, 0))
+    rank_s = x - gstart
+    (rank,) = _sort_back(sp, (rank_s,))
+    return jnp.where(valid, rank, 0)
+
+
+def _lcp_block(x0, x1, x2, x3):
     """LCP in bytes over a 16-byte block given the four dword XORs (LE)."""
 
-    def partial(x):
-        b0 = (x & 0xFF) == 0
-        b1 = (x & 0xFFFF) == 0
-        b2 = (x & 0xFFFFFF) == 0
+    def partial_bytes(v):
+        b0 = (v & 0xFF) == 0
+        b1 = (v & 0xFFFF) == 0
+        b2 = (v & 0xFFFFFF) == 0
         return b0.astype(jnp.int32) + (b0 & b1) + (b0 & b1 & b2)
 
-    e0, e1, e2 = xor0 == 0, xor1 == 0, xor2 == 0
-    e3 = xor3 == 0
+    e0, e1, e2, e3 = x0 == 0, x1 == 0, x2 == 0, x3 == 0
     lcp = jnp.where(
         ~e0,
-        partial(xor0),
+        partial_bytes(x0),
         jnp.where(
             ~e1,
-            4 + partial(xor1),
-            jnp.where(~e2, 8 + partial(xor2), jnp.where(~e3, 12 + partial(xor3), 16)),
+            4 + partial_bytes(x1),
+            jnp.where(
+                ~e2, 8 + partial_bytes(x2),
+                jnp.where(~e3, 12 + partial_bytes(x3), 16),
+            ),
         ),
     )
     return lcp, e0 & e1 & e2 & e3
+
+
+def _lcp_dwords(xors):
+    """LCP in bytes over len(xors)*4 bytes from dword XORs."""
+    total = jnp.zeros_like(xors[0], shape=xors[0].shape).astype(jnp.int32)
+    alive = None
+    for k in range(0, len(xors), 4):
+        lcp, full = _lcp_block(*xors[k : k + 4])
+        if alive is None:
+            total = lcp
+            alive = full
+        else:
+            total = jnp.where(alive, total + lcp, total)
+            alive = alive & full
+    return total, alive
 
 
 def _gather_dwords(dw: jnp.ndarray, base: jnp.ndarray, offset: int):
@@ -133,6 +207,8 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     order, so every candidate's dwords/ranks come from vector SHIFTS of
     sorted arrays — the depth loop does no gathers at all (the sequential
     chain walk of reference src/matcher.rs:135-192, turned into lane math).
+    All candidate operands ride the sort as payloads; results ride a
+    position-keyed sort back.
     """
     n = buf.shape[0]
     end = PAD_FRONT + seg_len
@@ -145,14 +221,21 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     cur_word = b | _shift_left(b, 1) << 8
     wordmatch = cur_word == pred
 
-    csk, csp = sort_by_key(ba.cctx, valid)
-    rank = group_rank_from_sorted(csk, csp)
+    rank = context_ranks(ba, valid)
 
-    msk, msp = sort_by_key(ba.mkey, valid)
+    # parse-fence / segment-end cap on match lengths (cap BEFORE scoring)
+    cap = jnp.minimum(
+        FENCE - ((p - PAD_FRONT) & (FENCE - 1)), end - p
+    ).astype(jnp.int32)
 
-    # sorted-space views (one gather each, reused for all depths)
-    rank_s = rank[msp]
-    dw_s = [ba.dw[jnp.clip(msp + 4 * k, 0, n - 1)] for k in range(4)]
+    # one sort carries every candidate operand into (mkey, pos) space
+    mk = jnp.where(valid, ba.mkey, jnp.int32(0x7FFFFFFF))
+    dws = [_shift_left(ba.dw, 4 * k).astype(jnp.int32) for k in range(N_DW)]
+    sorted_all = lax.sort(
+        (mk, p, rank, cap) + tuple(dws), num_keys=2
+    )
+    msk, msp, rank_s, cap_s = sorted_all[:4]
+    dw_s = [a.astype(jnp.uint32) for a in sorted_all[4:]]
 
     def shift_dn(x, j, fill):
         return jnp.concatenate([jnp.full(j, fill, x.dtype), x[:-j]])
@@ -160,46 +243,34 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     best_score = jnp.zeros(n, dtype=jnp.int32)
     best_q_s = jnp.full(n, -1, jnp.int32)
     best_ro_s = jnp.zeros(n, dtype=jnp.int32)
+    best_len_s = jnp.zeros(n, dtype=jnp.int32)
     for j in range(1, depth + 1):
         same = shift_dn(msk, j, -1) == msk
         q = shift_dn(msp, j, -1)
         ro = rank_s - 1 - shift_dn(rank_s, j, 0)
         ok = same & (ro < RING)
-        x0 = shift_dn(dw_s[0], j, 0) ^ dw_s[0]
-        x1 = shift_dn(dw_s[1], j, 0) ^ dw_s[1]
-        x2 = shift_dn(dw_s[2], j, 0) ^ dw_s[2]
-        x3 = shift_dn(dw_s[3], j, 0) ^ dw_s[3]
-        lcp16, _ = _lcp_block(x0, x1, x2, x3)
-        ok = ok & (lcp16 >= min_match_len_for_ro(ro))  # far-offset price gate
-        score = jnp.where(ok, lcp16 * 64 + (depth - j), -1)
+        xors = [shift_dn(dw_s[k], j, 0) ^ dw_s[k] for k in range(N_DW)]
+        lcp32, _ = _lcp_dwords(xors)
+        lcp32 = jnp.minimum(lcp32, cap_s)  # fence/end cap before scoring
+        ok = ok & (lcp32 >= min_match_len_for_ro(ro))  # far-offset price gate
+        score = jnp.where(ok, lcp32 * 64 + (depth - j), -1)
         better = score > best_score  # strict: ties keep the more recent j
         best_score = jnp.maximum(best_score, score)
         best_q_s = jnp.where(better, q, best_q_s)
         best_ro_s = jnp.where(better, ro, best_ro_s)
+        best_len_s = jnp.where(better, lcp32, best_len_s)
 
-    # back to position space
-    best_q = jnp.full(n, -1, jnp.int32).at[msp].set(best_q_s, unique_indices=True)
-    best_ro = jnp.zeros(n, jnp.int32).at[msp].set(best_ro_s, unique_indices=True)
-    score_pos = jnp.zeros(n, jnp.int32).at[msp].set(best_score, unique_indices=True)
-    lcp16_best = score_pos >> 6
+    # back to position space (sort on stored position, no scatters)
+    best_q, best_ro, lcp_best, cap_back = _sort_back(
+        msp, (best_q_s, best_ro_s, best_len_s, cap_s)
+    )
 
-    # extend winners past 16 bytes.  Two static 16-byte rounds (static roll
-    # shifts, cheap) retire the vast majority of matches; the few survivors
-    # (len >= 48) are COMPACTED to the front of a K-sized working set and
-    # extended there — all tail gathers run at n/16 size instead of n
-    # (the full-width while_loop version spent ~80% of analyze here).
-    cur = lcp16_best
-    alive = lcp16_best >= 16
-    for k in (1, 2):
-        off = 16 * k
-        qb = jnp.where(alive, best_q, 0)
-        x0 = _gather_dwords(ba.dw, qb, off) ^ jnp.roll(ba.dw, -off)
-        x1 = _gather_dwords(ba.dw, qb, off + 4) ^ jnp.roll(ba.dw, -(off + 4))
-        x2 = _gather_dwords(ba.dw, qb, off + 8) ^ jnp.roll(ba.dw, -(off + 8))
-        x3 = _gather_dwords(ba.dw, qb, off + 12) ^ jnp.roll(ba.dw, -(off + 12))
-        lcp, full = _lcp_block(x0, x1, x2, x3)
-        cur = jnp.where(alive, cur + lcp, cur)
-        alive = alive & full
+    # extend winners past the 32-byte window.  Only ~1-2% of positions have
+    # lcp == 32 and an unfenced continuation; they are COMPACTED to the
+    # front of a K-sized working set (one sort) and extended there — all
+    # tail gathers run at n/16 size instead of n.
+    cur = lcp_best
+    alive = (lcp_best >= LCP0) & (cap_back > LCP0) & (best_q >= 0)
 
     k_sub = max(1024, n // 16)
     _, alive_first = lax.sort(
@@ -222,6 +293,7 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
         sub_pc = jnp.clip(sub_p, 0, n - 1)
         sub_q = best_q[sub_pc]
         sub_cur = cur[sub_pc]
+        sub_cap = cap_back[sub_pc]
         sub_alive = alive[sub_pc] & (sub_p < n)
 
         def tail_cond(tc):
@@ -233,27 +305,28 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
             off = 16 * k
             qb = jnp.where(salive, sub_q, 0)
             pb = jnp.where(salive, sub_p, 0)
-            x0 = _gather_dwords(ba.dw, qb, off) ^ _gather_dwords(ba.dw, pb, off)
-            x1 = _gather_dwords(ba.dw, qb, off + 4) ^ _gather_dwords(ba.dw, pb, off + 4)
-            x2 = _gather_dwords(ba.dw, qb, off + 8) ^ _gather_dwords(ba.dw, pb, off + 8)
-            x3 = _gather_dwords(ba.dw, qb, off + 12) ^ _gather_dwords(ba.dw, pb, off + 12)
-            lcp, full = _lcp_block(x0, x1, x2, x3)
+            xors = [
+                _gather_dwords(ba.dw, qb, off + 4 * t)
+                ^ _gather_dwords(ba.dw, pb, off + 4 * t)
+                for t in range(4)
+            ]
+            lcp, full = _lcp_block(*xors)
             scur = jnp.where(salive, scur + lcp, scur)
-            return k + 1, scur, salive & full
+            scur = jnp.minimum(scur, sub_cap)
+            return k + 1, scur, salive & full & (scur < sub_cap)
 
-        _, sub_cur, _ = lax.while_loop(tail_cond, tail_round, (jnp.int32(3), sub_cur, sub_alive))
+        _, sub_cur, _ = lax.while_loop(
+            tail_cond, tail_round, (jnp.int32(LCP0 // 16), sub_cur, sub_alive)
+        )
         cur = cur.at[sub_p].set(sub_cur, mode="drop", unique_indices=True)
         return c + 1, cur
 
     _, cur = lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), cur))
 
-    # no truncation at the segment end (mirrors refcodec; keeps the len_min
-    # invariant behind length prediction)
     blen = jnp.minimum(cur, LZ_MATCH_MAX_LEN)
     has = (
         (best_q >= 0)
         & (blen >= min_match_len_for_ro(best_ro))
-        & (p + blen <= end)
         & valid
     )
     bestlen = jnp.where(has, blen, 0)

@@ -4,9 +4,17 @@ The reference's parse loop advances a cursor by a data-dependent amount per
 item (reference src/lz.rs:131-235) — inherently serial.  In OTZ every
 position's decision ("IF an item started here, what would it be?") is a pure
 function of phase-1 arrays, so the item sequence is the orbit of
-next(p) = p + len(p) from the segment start: a functional-graph traversal,
-extracted in O(log n) parallel steps by pointer doubling (item i's position
-is the i-fold composition of `next`, built from jump tables J_{2^k}).
+next(p) = p + len(p) from the segment start.
+
+v2: matches never cross a parse FENCE (a fixed 512-byte grid; enforced by
+the fence cap in ops/analyze.py), so every fence line is an item start and
+the orbit decomposes into ~n/FENCE independent per-block walks that run in
+lockstep as one batched-gather loop — no pointer-doubling jump tables (each
+squaring was a full-size gather, ~30 ms at 4Mi) and no serial coarse chain.
+
+Item-field construction is split out (build_items) so the pipeline can run
+it at a bucketed item capacity M_CAP << n after syncing n_items: all
+item-space sorts/gathers then cost ~n_items, not n.
 
 Oracle: orz_tpu/device/refcodec.py parse_ref.
 """
@@ -20,18 +28,17 @@ from jax import lax
 import jax.numpy as jnp
 
 from orz_tpu.device.spec import (
+    FENCE,
     LAZY_LEN_CAP,
     LZ_LENID_SIZE,
     LZ_MATCH_MIN_LEN,
     PAD_FRONT,
     REP0_BASE,
     ROBITS_CHEAP,
-    ROID_ENC,
+    ROID_GROUP_BITS,
     WORD_SYMBOL,
 )
 from orz_tpu.ops.analyze import Analysis, _shift_left
-
-ROID_ENC_J = jnp.asarray(ROID_ENC)  # (32766, 3): roid, robitlen, robits
 
 
 class Decisions(NamedTuple):
@@ -55,12 +62,35 @@ class Items(NamedTuple):
     pred_len: jnp.ndarray  # scalar bool: length prediction active
 
 
+def _ilog2(v: jnp.ndarray) -> jnp.ndarray:
+    """floor(log2(v)) for int32 1 <= v < 2^24 via the f32 exponent."""
+    f = v.astype(jnp.float32)
+    return (lax.bitcast_convert_type(f, jnp.int32) >> 23) - 127
+
+
+def roid_of_ro(ro: jnp.ndarray):
+    """(roid, robitlen, robits) arithmetically from the reduced offset.
+
+    The schedule (reference src/lz.rs:494-534, extended in spec.py): ids come
+    in pairs per bit-length level L, each id covering 2^L offsets, so level
+    L starts at offset 2^(L+1) - 2.  A table lookup here would be a 30 ms
+    full-size gather; this is ~8 elementwise ops.
+    """
+    v = jnp.maximum(ro, 0) + 2
+    lvl = _ilog2(v) - 1
+    base = (jnp.int32(1) << (lvl + 1)) - 2
+    off = ro - base
+    roid = (lvl << ROID_GROUP_BITS) + (off >> lvl)
+    robits = off & ((jnp.int32(1) << lvl) - 1)
+    return roid, lvl, robits
+
+
 def decisions(an: Analysis, seg_len: jnp.ndarray, n: int) -> Decisions:
     """Per-position parse decisions (mirrors refcodec parse_ref rules)."""
     p = jnp.arange(n, dtype=jnp.int32)
     end = PAD_FRONT + seg_len
     is_m = an.bestlen >= LZ_MATCH_MIN_LEN
-    robitlen = ROID_ENC_J[jnp.clip(an.bestro, 0, ROID_ENC_J.shape[0] - 1), 1]
+    _, robitlen, _ = roid_of_ro(an.bestro)
     lazy_len1 = an.bestlen + 1 + (robitlen < ROBITS_CHEAP)
     bl1 = _shift_left(an.bestlen, 1)
     bl2 = _shift_left(an.bestlen, 2)
@@ -68,116 +98,163 @@ def decisions(an: Analysis, seg_len: jnp.ndarray, n: int) -> Decisions:
     lazy1 = is_m & short & (bl1 >= lazy_len1)
     lazy2 = is_m & short & (bl2 >= lazy_len1 - an.wordmatch.astype(jnp.int32))
     m_emit = is_m & ~lazy1 & ~lazy2
-    w_emit = ~m_emit & an.wordmatch & ~lazy1 & (p + 2 <= end)
+    # word items may not cross the parse fence (or the segment end)
+    fence_room = (FENCE - ((p - PAD_FRONT) & (FENCE - 1))) >= 2
+    w_emit = ~m_emit & an.wordmatch & ~lazy1 & (p + 2 <= end) & fence_room
     kind = jnp.where(m_emit, 2, jnp.where(w_emit, 1, 0)).astype(jnp.int32)
     length = jnp.where(m_emit, an.bestlen, jnp.where(w_emit, 2, 1)).astype(jnp.int32)
     nxt = jnp.minimum(p + length, end).astype(jnp.int32)
     return Decisions(kind, length, nxt)
 
 
-def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.ndarray) -> Items:
-    """Pointer-doubling orbit extraction: start[i] = next^i(PAD_FRONT).
+def walk_items(dec: Decisions, seg_len: jnp.ndarray, n: int):
+    """Fence-block item walk: item start positions in stream order.
 
-    Two-level scheme to keep full-size (n,) gathers to a minimum: only
-    LOCAL_BITS jump tables are squared at full size; the orbit is walked at
-    stride 2^LOCAL_BITS on an (m / 2^LOCAL_BITS)-sized coarse chain, then
-    each coarse anchor expands its 2^LOCAL_BITS successors with the small
-    tables.  ~5 full-size gathers instead of ~log2(n)."""
-    n = dec.nxt.shape[0]
-    m = n - PAD_FRONT  # max possible items
+    Every fence line is an item start (no item crosses a fence), so block k
+    walks nxt() from PAD_FRONT + k*FENCE until it leaves the block; the
+    blocks advance in lockstep (one n_blocks-sized gather per step) with
+    early exit once every block is done.
+
+    Returns (starts, n_items): starts is (m,) int32, the item start
+    positions sorted in stream order with the tail filled with `end`.
+    """
+    m = n - PAD_FRONT
+    n_blocks = -(-m // FENCE)
     end = PAD_FRONT + seg_len
+    base = PAD_FRONT + FENCE * jnp.arange(n_blocks, dtype=jnp.int32)
+    blk_end = jnp.minimum(base + FENCE, end)
 
-    LOCAL_BITS = 5
-    stride = 1 << LOCAL_BITS
-    jumps = [dec.nxt]
-    for _ in range(LOCAL_BITS):
-        jumps.append(jumps[-1][jumps[-1]])
-    jump_stride = jumps[-1]  # advance 2^LOCAL_BITS items
+    def cond(carry):
+        t, cur, rec = carry
+        return (t < FENCE) & jnp.any(cur < blk_end)
 
-    # coarse chain: anchor c = position of item c*stride, walked as a SCALAR
-    # chain (~n_items/32 latency-bound steps — far cheaper than doubling,
-    # which needs log2(m) more full-size jump-table squarings)
-    mc = -(-m // stride)
+    def body(carry):
+        t, cur, rec = carry
+        active = cur < blk_end
+        rec = lax.dynamic_update_slice(
+            rec, jnp.where(active, cur, end)[:, None], (0, t)
+        )
+        nxt = dec.nxt[jnp.clip(cur, 0, n - 1)]
+        cur = jnp.where(active, nxt, cur)
+        return t + 1, cur, rec
 
-    def walk_cond(carry):
-        c, pos, _ = carry
-        return (c < mc) & (pos < end)
+    rec0 = jnp.full((n_blocks, FENCE), end, jnp.int32)
+    _, _, rec = lax.while_loop(cond, body, (jnp.int32(0), base, rec0))
 
-    def walk_body(carry):
-        c, pos, anchors = carry
-        anchors = anchors.at[c].set(pos)
-        return c + 1, jump_stride[pos], anchors
+    # compact to stream order: one sort by (position, .) — items of block k
+    # all precede block k+1's and are recorded in increasing order
+    flat = rec.reshape(-1)
+    starts = lax.sort(flat)
+    n_items = (starts < end).sum().astype(jnp.int32)
+    if flat.shape[0] >= m:
+        starts = starts[:m]
+    else:  # n_blocks*FENCE < m cannot happen (FENCE tiles m), but be safe
+        starts = jnp.concatenate(
+            [starts, jnp.full(m - flat.shape[0], 1 << 30, jnp.int32)]
+        )
+    return starts, n_items
 
-    anchors0 = jnp.full((mc,), 0, jnp.int32) + end  # unreached -> end
-    _, _, cpos = lax.while_loop(
-        walk_cond, walk_body, (jnp.int32(0), jnp.int32(PAD_FRONT), anchors0)
+
+def pack_fields(an: Analysis, dec: Decisions) -> jnp.ndarray:
+    """Pack the per-position fields build_items needs into one int32 so the
+    item-space view costs one gather instead of four."""
+    return (
+        dec.kind
+        | (dec.length << 2)
+        | (an.cctx << 10)
+        | ((an.pred & 0xFF) << 18)
     )
 
-    # expand: item i = anchor(i >> LOCAL_BITS) advanced by the low bits
-    i_idx = jnp.arange(m, dtype=jnp.int32)
-    pos = cpos[i_idx >> LOCAL_BITS]
-    for k in range(LOCAL_BITS):
-        bit = (i_idx >> k) & 1
-        pos = jnp.where(bit == 1, jumps[k][pos], pos)
 
-    valid = pos < end
-    n_items = valid.sum().astype(jnp.int32)
+def build_items(
+    starts: jnp.ndarray,  # (M_CAP,) item starts (stream order, end-filled)
+    n_items: jnp.ndarray,
+    pk1: jnp.ndarray,  # (n,) packed kind/length/cctx/pred8
+    bestq: jnp.ndarray,  # (n,)
+    bestro: jnp.ndarray,  # (n,)
+    buf: jnp.ndarray,
+    seg_len: jnp.ndarray,
+) -> Items:
+    """Item arrays from compacted starts (runs at the M_CAP bucket)."""
+    mc = starts.shape[0]
+    n = pk1.shape[0]
+    end = PAD_FRONT + seg_len
+    valid = jnp.arange(mc, dtype=jnp.int32) < n_items
+    start = jnp.where(valid, starts, 0)
 
-    start = pos
-    kind = jnp.where(valid, dec.kind[start], 0)
-    length = jnp.where(valid, dec.length[start], 0)
+    f = pk1[start]
+    kind = jnp.where(valid, f & 3, 0)
+    length = jnp.where(valid, (f >> 2) & 0xFF, 0)
+    cctx = (f >> 10) & 0xFF
+    pred8 = (f >> 18) & 0xFF
     after_literal = jnp.concatenate(
         [jnp.ones(1, jnp.int32), (kind[:-1] == 0).astype(jnp.int32)]
     )
 
     # rep0: previous match's distance, found via a running max of match
     # item indices (cummax compiles far leaner than an associative scan)
-    dist = jnp.where(kind == 2, start - an.bestq[start], 0)
-    m_ids = jnp.arange(m, dtype=jnp.int32)
-    last_match = jax.lax.cummax(jnp.where(kind == 2, m_ids, -1))
+    q_item = jnp.where(kind == 2, bestq[start], 0)
+    dist = jnp.where(kind == 2, start - q_item, 0)
+    m_ids = jnp.arange(mc, dtype=jnp.int32)
+    last_match = lax.cummax(jnp.where(kind == 2, m_ids, -1))
     prev_match = jnp.concatenate([jnp.full(1, -1, jnp.int32), last_match[:-1]])
-    prev_dist = jnp.where(prev_match >= 0, dist[jnp.clip(prev_match, 0, m - 1)], 0)
+    prev_dist = jnp.where(prev_match >= 0, dist[jnp.clip(prev_match, 0, mc - 1)], 0)
     rep0 = (kind == 2) & (dist == prev_dist) & (prev_dist > 0)
 
-    ro = an.bestro[start]
-    roid = ROID_ENC_J[ro, 0]
-    robitlen = jnp.where((kind == 2) & ~rep0, ROID_ENC_J[ro, 1], 0)
-    robits = jnp.where((kind == 2) & ~rep0, ROID_ENC_J[ro, 2], 0)
+    ro = jnp.where(kind == 2, bestro[start], 0)
+    roid, robitlen_all, robits_all = roid_of_ro(ro)
+    robitlen = jnp.where((kind == 2) & ~rep0, robitlen_all, 0)
+    robits = jnp.where((kind == 2) & ~rep0, robits_all, 0)
 
     # length prediction (refcodec parse_ref): expected(q) = length coded at
     # item q if it was a match; len_min(q) at item i = min(127, 1 + max
-    # length of EARLIER matches targeting q) — an exclusive segmented
-    # running max over match items grouped by target.
-    n = dec.nxt.shape[0]
+    # length of EARLIER matches targeting q); both capped by the fence room
+    # at the *consuming* position p (truncated matches stay predictable).
+    # "is q an item start, and which item?" via merge-sort against starts
+    # (starts are sorted): no n-space scatter needed.
     is_match = kind == 2
-    q_pos = jnp.where(is_match, an.bestq[start], 0)
-    is_item = jnp.zeros(n, bool).at[jnp.where(valid, start, n - 1)].set(True)
-    item_is_match = jnp.zeros(n, bool).at[
-        jnp.where(valid & is_match, start, n - 1)
-    ].set(True)
-    expected_q = jnp.where(
-        is_item[q_pos] & item_is_match[q_pos], dec.length[q_pos], 0
-    )
+    q_key = jnp.where(is_match & valid, q_item, jnp.int32(0x7FFFFFFF))
+    skey = jnp.concatenate([jnp.where(valid, starts, 0x7FFFFFFE), q_key])
+    srole = jnp.concatenate([  # 0 = item, 1 = query: items first at equal key
+        jnp.zeros(mc, jnp.int32), jnp.ones(mc, jnp.int32)
+    ])
+    spay = jnp.concatenate([m_ids, m_ids])  # item idx / query's item idx
+    _, o_role, o_pay = lax.sort((skey, srole, spay), num_keys=2)
+    last_item = lax.cummax(jnp.where(o_role == 0, o_pay, -1))
+    # deliver each query row's candidate back to its item slot
+    qslot = jnp.where(o_role == 1, o_pay, mc)
+    cand = jnp.zeros(mc + 1, jnp.int32).at[qslot].max(
+        jnp.maximum(last_item, 0), mode="drop"
+    )[:mc]
+    hit = (start[cand] == q_item) & is_match
+    expected_q = jnp.where(hit & (kind[cand] == 2), length[cand], 0)
 
-    key = jnp.where(is_match & valid, q_pos, n)  # group match items by target
-    skey, sidx = lax.sort((key, m_ids), num_keys=2)
+    # len_min: exclusive in-group running max over matches grouped by target
+    key2 = jnp.where(is_match & valid, q_item, n)
+    skey2, sidx = lax.sort((key2, m_ids), num_keys=2)
     L_sorted = jnp.where(is_match, length, 0)[sidx]
-    first = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
-    gid = jnp.cumsum(first.astype(jnp.int32))
-    # keyed cummax in int64: lengths are < 512, so gid*512 keys the groups;
-    # int32 would overflow once gid exceeds ~4.2M (segment_size >= ~16 MiB
-    # with dense 4-byte matches) and silently corrupt eml values
-    incl = (
-        lax.cummax(L_sorted.astype(jnp.int64) + gid.astype(jnp.int64) * 512)
-        - gid.astype(jnp.int64) * 512
-    ).astype(jnp.int32)  # in-group cummax
+    first = jnp.concatenate([jnp.ones(1, bool), skey2[1:] != skey2[:-1]])
+
+    def _seg_op(a, b):
+        fa, ma = a
+        fb, mb = b
+        return fa | fb, jnp.where(fb, mb, jnp.maximum(ma, mb))
+
+    _, incl = lax.associative_scan(_seg_op, (first, L_sorted))
     excl = jnp.where(
         first, 0, jnp.concatenate([jnp.zeros(1, jnp.int32), incl[:-1]])
     )
-    prev_max_l = jnp.zeros(m, jnp.int32).at[sidx].set(excl, unique_indices=True)
+    prev_max_l = jnp.zeros(mc, jnp.int32).at[sidx].set(
+        excl, unique_indices=True
+    )
     len_min_q = jnp.where(prev_max_l > 0, jnp.minimum(prev_max_l + 1, 127), 0)
 
-    lm = jnp.maximum(len_min_q, LZ_MATCH_MIN_LEN)
+    fence_room = jnp.minimum(
+        FENCE - ((start - PAD_FRONT) & (FENCE - 1)), end - start
+    )
+    lm = jnp.minimum(
+        jnp.maximum(len_min_q, LZ_MATCH_MIN_LEN), fence_room
+    )
     ex = jnp.maximum(expected_q, LZ_MATCH_MIN_LEN)
     e_pred = jnp.where(
         length > ex, length - lm, jnp.where(length < ex, length - lm + 1, 0)
@@ -191,9 +268,19 @@ def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.n
         jnp.where(rep0, REP0_BASE + lenid, 256 + roid * LZ_LENID_SIZE + lenid),
         jnp.where(kind == 1, WORD_SYMBOL, buf[start].astype(jnp.int32)),
     )
-    sr_ctx = an.cctx[start] | (after_literal << 8)
-    sr_unlikely = an.pred[start] & 0xFF
+    sr_ctx = cctx | (after_literal << 8)
+    sr_unlikely = pred8
     return Items(
-        start, n_items, kind, length, symbol, sr_ctx, sr_unlikely,
-        after_literal, robitlen, robits, eml, pred_ok,
+        jnp.where(valid, starts, end), n_items, kind, length, symbol, sr_ctx,
+        sr_unlikely, after_literal, robitlen, robits, eml, pred_ok,
     )
+
+
+def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.ndarray) -> Items:
+    """Single-program extraction at full size (fallback / monolithic path);
+    the staged pipeline runs walk_items and build_items separately so
+    build_items can use a bucketed item capacity."""
+    n = dec.nxt.shape[0]
+    starts, n_items = walk_items(dec, seg_len, n)
+    pk1 = pack_fields(an, dec)
+    return build_items(starts, n_items, pk1, an.bestq, an.bestro, buf, seg_len)

@@ -44,21 +44,22 @@ N_SYM = SYMRANK_NUM_SYMBOLS
 
 
 class SegmentOut(NamedTuple):
-    num_counted: jnp.ndarray  # scalar
-    census_order: jnp.ndarray  # (N_SYM,) init permutation (counted first)
-    lensA: jnp.ndarray  # (C, N_SYM)
-    lensB: jnp.ndarray  # (C, N_SYM)
-    lensC: jnp.ndarray  # (C, N_SYM; first 240 meaningful)
-    words: jnp.ndarray  # (C, W) uint32
-    bitlen: jnp.ndarray  # (C,)
-    chunk_items: jnp.ndarray  # (C,)
-    n_items: jnp.ndarray  # scalar
-    pred_len: jnp.ndarray  # scalar bool: length-prediction header bit
+    """Device outputs, packed for exactly TWO host fetches (each host fetch
+    costs a full tunnel round trip): `meta` carries every scalar/table, and
+    `words` is the flat payload the host slices by meta's word counts.
+
+    meta layout (int32): [num_counted, pred_len, n_items, total_words,
+    chunk_items(C), bitlen(C), word_base(C), census_order(N_SYM),
+    lensA(C*N_SYM), lensB(C*N_SYM), lensC(C*N_SYM)].
+    """
+
+    meta: jnp.ndarray  # (4 + 3C + N_SYM + 3*C*N_SYM,) int32
+    words: jnp.ndarray  # (W_total,) uint32, chunks back to back
 
 
-def _w_cap(chunk_input: int) -> int:
+def _w_total(c_max: int, chunk_input: int) -> int:
     # worst case ~15 bits per input byte (all rare literals); +margin
-    return chunk_input // 2 + 64
+    return (c_max * chunk_input) // 2 + 64 * c_max
 
 
 @partial(jax.jit, static_argnames=("depth", "chunk_input", "c_max"))
@@ -124,21 +125,26 @@ def _entropy_stage(items, coded, valid, chunk_id, num_counted, census_order,
         lensB,
         codesC,
         lensC,
-        _w_cap(chunk_input),
+        _w_total(c_max, chunk_input),
         LZ_LENID_SIZE - 1,
     )
-    return SegmentOut(
-        num_counted,
-        census_order,
-        lensA,
-        lensB,
-        lensC,
-        packed.words,
-        packed.bitlen,
+    total_words = ((packed.bitlen + 31) >> 5).sum()
+    meta = jnp.concatenate([
+        jnp.stack([
+            num_counted,
+            items.pred_len.astype(jnp.int32),
+            items.n_items,
+            total_words.astype(jnp.int32),
+        ]),
         packed.n_items,
-        items.n_items,
-        items.pred_len,
-    )
+        packed.bitlen,
+        packed.word_base,
+        census_order,
+        lensA.reshape(-1),
+        lensB.reshape(-1),
+        lensC.reshape(-1),
+    ])
+    return SegmentOut(meta, packed.words)
 
 
 def _bucket_capacity(n: int) -> int:
@@ -328,24 +334,39 @@ def encode_segment_device(
     return assemble_segment(enc, out, len(data), chunk_input)
 
 
-def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input: int) -> bytes:
-    """Host stream assembly from device outputs (headers + payload splice)."""
-    num_counted = int(out.num_counted)
-    order = np.asarray(out.census_order)
-    lensA = np.asarray(out.lensA)
-    lensB = np.asarray(out.lensB)
-    lensC = np.asarray(out.lensC)
-    bitlen = np.asarray(out.bitlen)
-    chunk_items = np.asarray(out.chunk_items)
-    # fetch only the used prefix of each chunk's word buffer: the full
-    # (C, W_cap) array is ~100x larger than the payload, and device->host
-    # transfers ride a slow tunnel on remote-TPU setups
-    words = [
-        np.asarray(out.words[k, : (int(bitlen[k]) + 31) // 32])
-        for k in range(out.words.shape[0])
-    ]
+_FETCH_GRANULE = 1 << 14  # words (64 KiB): word-fetch slice size bucket
 
-    enc.encode_raw_bits(int(np.asarray(out.pred_len)), 1)  # prediction flag
+
+@partial(jax.jit, static_argnames=("k",))
+def _take_words(words: jnp.ndarray, k: int) -> jnp.ndarray:
+    return jax.lax.slice(words, (0,), (k,))
+
+
+def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input: int) -> bytes:
+    """Host stream assembly from device outputs (headers + payload splice).
+
+    Exactly two device fetches: the packed meta array and a size-bucketed
+    prefix of the flat payload words (each fetch is a tunnel round trip).
+    """
+    c_max = (out.meta.shape[0] - 4 - N_SYM) // (3 + 3 * N_SYM)
+    meta = np.asarray(out.meta)
+    num_counted, pred_len, _n_items, total_words = (int(v) for v in meta[:4])
+    o = 4
+    chunk_items = meta[o : o + c_max]; o += c_max
+    bitlen = meta[o : o + c_max]; o += c_max
+    word_base = meta[o : o + c_max]; o += c_max
+    order = meta[o : o + N_SYM]; o += N_SYM
+    lensA = meta[o : o + c_max * N_SYM].reshape(c_max, N_SYM); o += c_max * N_SYM
+    lensB = meta[o : o + c_max * N_SYM].reshape(c_max, N_SYM); o += c_max * N_SYM
+    lensC = meta[o : o + c_max * N_SYM].reshape(c_max, N_SYM)
+
+    k_fetch = min(
+        out.words.shape[0],
+        -(-max(total_words, 1) // _FETCH_GRANULE) * _FETCH_GRANULE,
+    )
+    words = np.asarray(_take_words(out.words, k_fetch))
+
+    enc.encode_raw_bits(pred_len, 1)  # prediction flag
     enc.encode_varint(num_counted)
     for s in order[:num_counted]:
         enc.encode_raw_bits(int(s), 9)
@@ -356,5 +377,7 @@ def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input
         enc.encode_huffman_table(lensA[k].tolist())
         enc.encode_huffman_table(lensB[k].tolist())
         enc.encode_huffman_table(lensC[k, :LZ_MATCH_MAX_LEN].tolist())
-        enc.append_bits_bulk(words[k], int(bitlen[k]))
+        nw = (int(bitlen[k]) + 31) // 32
+        base = int(word_base[k])
+        enc.append_bits_bulk(words[base : base + nw], int(bitlen[k]))
     return enc.finish()

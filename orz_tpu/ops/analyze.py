@@ -237,28 +237,46 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     msk, msp, rank_s, cap_s = sorted_all[:4]
     dw_s = [a.astype(jnp.uint32) for a in sorted_all[4:]]
 
-    def shift_dn(x, j, fill):
-        return jnp.concatenate([jnp.full(j, fill, x.dtype), x[:-j]])
+    # Depth loop as a fori_loop whose carry holds 1-slot-per-round shifted
+    # copies of the sorted arrays: shifting one more slot per round is a
+    # cheap static op, and the compiled graph stays ~depth-times smaller
+    # than a full unroll (the unrolled version compiled for many minutes
+    # through the remote-TPU tunnel).
+    def shift1(x, fill):
+        return jnp.concatenate([jnp.full(1, fill, x.dtype), x[:-1]])
 
-    best_score = jnp.zeros(n, dtype=jnp.int32)
-    best_q_s = jnp.full(n, -1, jnp.int32)
-    best_ro_s = jnp.zeros(n, dtype=jnp.int32)
-    best_len_s = jnp.zeros(n, dtype=jnp.int32)
-    for j in range(1, depth + 1):
-        same = shift_dn(msk, j, -1) == msk
-        q = shift_dn(msp, j, -1)
-        ro = rank_s - 1 - shift_dn(rank_s, j, 0)
+    def depth_body(j, st):
+        mskj, mspj, rankj, dwsj, best_score, best_q_s, best_ro_s, best_len_s = st
+        mskj = shift1(mskj, -1)
+        mspj = shift1(mspj, 0)
+        rankj = shift1(rankj, 0)
+        dwsj = tuple(shift1(d, 0) for d in dwsj)
+        same = mskj == msk
+        ro = rank_s - 1 - rankj
         ok = same & (ro < RING)
-        xors = [shift_dn(dw_s[k], j, 0) ^ dw_s[k] for k in range(N_DW)]
+        xors = [dwsj[k] ^ dw_s[k] for k in range(N_DW)]
         lcp32, _ = _lcp_dwords(xors)
         lcp32 = jnp.minimum(lcp32, cap_s)  # fence/end cap before scoring
         ok = ok & (lcp32 >= min_match_len_for_ro(ro))  # far-offset price gate
         score = jnp.where(ok, lcp32 * 64 + (depth - j), -1)
         better = score > best_score  # strict: ties keep the more recent j
         best_score = jnp.maximum(best_score, score)
-        best_q_s = jnp.where(better, q, best_q_s)
+        best_q_s = jnp.where(better, mspj, best_q_s)
         best_ro_s = jnp.where(better, ro, best_ro_s)
         best_len_s = jnp.where(better, lcp32, best_len_s)
+        return (mskj, mspj, rankj, dwsj, best_score, best_q_s, best_ro_s,
+                best_len_s)
+
+    st0 = (
+        msk, msp, rank_s, tuple(dw_s),
+        jnp.zeros(n, dtype=jnp.int32),
+        jnp.full(n, -1, jnp.int32),
+        jnp.zeros(n, dtype=jnp.int32),
+        jnp.zeros(n, dtype=jnp.int32),
+    )
+    _, _, _, _, best_score, best_q_s, best_ro_s, best_len_s = lax.fori_loop(
+        1, depth + 1, depth_body, st0
+    )
 
     # back to position space (sort on stored position, no scatters)
     best_q, best_ro, lcp_best, cap_back = _sort_back(

@@ -6,10 +6,12 @@ front, so an exclusive prefix sum yields each item's absolute bit offset and
 all items scatter their (up to three) bit fields into big-endian u32 words
 independently — field bit ranges are disjoint, so scatter-ADD is bitwise OR.
 
-Each entropy chunk packs into its own word region starting at bit 0; the
-host splices regions after the chunk headers (varints + serialized tables,
-a few hundred bits) with a vectorized shift-merge
-(orz_tpu/golden/bitio.py append_bits_bulk).
+Chunks pack back-to-back into ONE flat word buffer (each chunk starting at
+its own word boundary, bit 0), so the host fetches a single size-bucketed
+prefix of the buffer instead of one over-allocated region per chunk — on a
+tunneled TPU every extra fetch costs a full round trip.  The host splices
+chunk regions after the chunk headers (varints + serialized tables) with a
+vectorized shift-merge (orz_tpu/golden/bitio.py append_bits_bulk).
 """
 
 from __future__ import annotations
@@ -20,7 +22,8 @@ import jax.numpy as jnp
 
 
 class Packed(NamedTuple):
-    words: jnp.ndarray  # (C_max, W_cap) uint32, big-endian bit order
+    words: jnp.ndarray  # (W_total,) uint32, big-endian bit order, flat
+    word_base: jnp.ndarray  # (C_max,) int32: chunk k starts at words[word_base[k]]
     bitlen: jnp.ndarray  # (C_max,) int32 payload bits per chunk
     n_items: jnp.ndarray  # (C_max,) int32
 
@@ -56,13 +59,13 @@ def pack_items(
     eml: jnp.ndarray,
     chunk_id: jnp.ndarray,  # (M,)
     n_items: jnp.ndarray,  # scalar
-    codesA: jnp.ndarray,  # (C_max, 389) canonical codes, after_literal=1
+    codesA: jnp.ndarray,  # (C_max, 431) canonical codes, after_literal=1
     lensA: jnp.ndarray,
-    codesB: jnp.ndarray,  # (C_max, 389) after_literal=0
+    codesB: jnp.ndarray,  # (C_max, 431) after_literal=0
     lensB: jnp.ndarray,
-    codesC: jnp.ndarray,  # (C_max, 389 padded; first 240 used)
+    codesC: jnp.ndarray,  # (C_max, 431 padded; first 240 used)
     lensC: jnp.ndarray,
-    w_cap: int,
+    w_total: int,  # flat word-buffer capacity (>= worst-case payload)
     lenid_escape: int,
 ) -> Packed:
     m = coded.shape[0]
@@ -95,17 +98,19 @@ def pack_items(
     items_per_chunk = jnp.zeros(c_max, jnp.int32).at[cid].add(
         jnp.where(valid, 1, 0)
     )
+    words_per_chunk = (bitlen + 31) >> 5
+    word_base = jnp.cumsum(words_per_chunk) - words_per_chunk
 
-    words = jnp.zeros(c_max * w_cap, jnp.uint32)
+    words = jnp.zeros(w_total, jnp.uint32)
     for code, t, field_off in (
         (code1, len1, 0),
         (code2, len2, len1),
         (code3, len3, len1 + len2),
     ):
         o = off + field_off
-        widx = cid * w_cap + (o >> 5)
+        widx = word_base[cid] + (o >> 5)
         s = o & 31
         tt = jnp.where(valid, t, 0)
         words = _scatter_field(words, widx, code.astype(jnp.uint32), tt, s)
 
-    return Packed(words.reshape(c_max, w_cap), bitlen, items_per_chunk)
+    return Packed(words, word_base, bitlen, items_per_chunk)

@@ -1,7 +1,9 @@
 """Per-phase wall-clock breakdown of the OTZ device encode pipeline.
 
-Times each phase as its own jitted program (so compile is paid separately)
-on a real segment, then reports hot-loop wall times.  Usage:
+Times each stage of the staged pipeline (front / mid / back / assembly) on
+a real segment.  block_until_ready is an async ack on the axon tunnel
+backend, so stages are timed with a scalar host fetch as the barrier.
+
     python tools/phase_profile.py [MiB] [level]
 """
 
@@ -14,93 +16,61 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from bench import make_corpus
-from orz_tpu.device.spec import PAD_FRONT, PAD_TAIL, candidate_depth
 from orz_tpu.device import pipeline as pipe
-from orz_tpu.ops.analyze import analyze
-from orz_tpu.ops.parse import decisions, extract_items
+from orz_tpu.device.spec import CHUNK_INPUT_DEFAULT
 
 
-def timed(label, fn, *args, n=3, **kw):
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    best = min(ts)
-    print(f"{label:28s} {best*1000:9.1f} ms")
-    return out, best
+def sync_scalar(x):
+    np.asarray(jax.tree.leaves(x)[0].ravel()[0])
 
 
 def main():
-    mb = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4
     level = int(sys.argv[2]) if len(sys.argv) > 2 else 2
-    n = mb << 20
+    n = int(mb * (1 << 20))
     data = make_corpus(n)
-    depth = candidate_depth(level)
-    buf = np.zeros(PAD_FRONT + n + PAD_TAIL, dtype=np.uint8)
-    buf[PAD_FRONT : PAD_FRONT + n] = np.frombuffer(data, dtype=np.uint8)
-    buf = jnp.asarray(buf)
-    seg_len = jnp.int32(n)
-    print(f"profile: {mb} MiB, level {level} (depth {depth}), "
-          f"device {jax.devices()[0]}")
+    print(f"profile: {mb} MiB, level {level}, device {jax.devices()[0]}",
+          flush=True)
 
-    an_jit = jax.jit(analyze, static_argnames=("depth",))
-    an, t_an = timed("analyze", an_jit, buf, seg_len, depth=depth)
+    ci = CHUNK_INPUT_DEFAULT
 
-    dec_jit = jax.jit(decisions, static_argnames=("n",))
-    dec, t_dec = timed("decisions", dec_jit, an, seg_len, n=buf.shape[0])
-
-    ext_jit = jax.jit(extract_items)
-    items, t_ext = timed("extract_items", ext_jit, dec, an, buf, seg_len)
-
-    n_items = int(items.n_items)
-    print(f"  items: {n_items} ({n/n_items:.2f} bytes/item)")
-
-    # front as shipped (analyze+decisions+extract in one program)
-    front, t_front = timed(
-        "front (fused, as shipped)", pipe.encode_front_jit,
-        jnp.asarray(np.array(buf)), seg_len, depth=depth)
-    rounds = int(front[1])
-    print(f"  symrank rounds: {rounds}")
-
-    from orz_tpu.ops.symrank_pallas import RB_BLK
-    r_cap = RB_BLK
-    while r_cap < rounds:
-        r_cap *= 2
-    c_max = pipe.n_chunks_for(buf.shape[0] - PAD_FRONT - PAD_TAIL, 1 << 21)
-    back, t_back = timed(
-        "back (symrank+entropy)", pipe.encode_back_jit,
-        jax.tree.map(lambda x: x.copy() if hasattr(x, 'copy') else x, front[0]),
-        chunk_input=1 << 21, c_max=c_max, r_cap=r_cap)
-
-    # symrank kernel alone
-    from orz_tpu.ops.symrank_pallas import symrank_pallas
-    items2 = front[0]
-    perm = jnp.arange(431, dtype=jnp.int32)
-    _, t_sr = timed(
-        "symrank_pallas alone", symrank_pallas,
-        items2.symbol, items2.sr_unlikely, items2.sr_ctx, items2.n_items,
-        perm, r_cap)
+    def run(tag):
+        t0 = time.perf_counter()
+        front = pipe.dispatch_segment_front(data, level, ci)
+        sync_scalar(front["front"][0])
+        t1 = time.perf_counter()
+        mid = pipe.dispatch_segment_mid(front)
+        sync_scalar(mid["items"].symbol)
+        t2 = time.perf_counter()
+        back = pipe.dispatch_segment_back(mid)
+        if back.get("out") is not None:
+            sync_scalar(back["out"].meta)
+        t3 = time.perf_counter()
+        payload = pipe.finish_segment(data, back, ci)
+        t4 = time.perf_counter()
+        print(f"{tag}: front {t1-t0:7.3f}s  mid {t2-t1:7.3f}s  "
+              f"back {t3-t2:7.3f}s  asm {t4-t3:7.3f}s  "
+              f"total {t4-t0:7.3f}s -> {n/(t4-t0)/1e6:6.1f} MB/s  "
+              f"({len(payload)} B, {len(payload)/n*100:.2f}%)", flush=True)
+        return payload
 
     t0 = time.perf_counter()
-    payload = pipe.finish_segment(data, {"empty": False, "fallback": None,
-                                         "out": back}, 1 << 21)
-    t_asm = time.perf_counter() - t0
-    print(f"{'host assembly':28s} {t_asm*1000:9.1f} ms")
+    run("cold")
+    print(f"(cold incl. compile: {time.perf_counter()-t0:.1f}s)", flush=True)
+    for i in range(3):
+        payload = run(f"hot{i}")
 
-    total = t_front + t_back + t_asm
-    print(f"{'TOTAL (front+back+asm)':28s} {total*1000:9.1f} ms "
-          f"-> {n/total/1e6:.1f} MB/s")
-    print(f"  [sub] analyze {t_an*1e3:.0f} decisions {t_dec*1e3:.0f} "
-          f"extract {t_ext*1e3:.0f} symrank {t_sr*1e3:.0f} "
-          f"entropy≈ {(t_back-t_sr)*1e3:.0f}")
+    # round-trip gate
+    from orz_tpu.device.refcodec import decode_segment_ref
+    try:
+        from orz_tpu.native.otz import decode_segment_native
+        out = decode_segment_native(payload)
+    except Exception:
+        out = decode_segment_ref(payload)
+    print("round-trip:", "OK" if out == data else "FAIL", flush=True)
 
 
 if __name__ == "__main__":

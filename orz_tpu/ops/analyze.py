@@ -290,56 +290,80 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     cur = lcp_best
     alive = (lcp_best >= LCP0) & (cap_back > LCP0) & (best_q >= 0)
 
-    k_sub = max(1024, n // 16)
+    k_a = max(1024, n // 16)
+    k_b = max(1024, n // 64)
     _, alive_first = lax.sort(
         ((~alive).astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)), num_keys=2
     )
     # pad with unique out-of-bounds indices so the last chunk's slice never
     # clamps back onto already-extended lanes (re-extension double-counts)
     alive_first = jnp.concatenate(
-        [alive_first, n + jnp.arange(k_sub, dtype=jnp.int32)]
+        [alive_first, n + jnp.arange(k_a, dtype=jnp.int32)]
     )
     n_alive = alive.sum()
 
-    def chunk_cond(carry):
-        c, cur = carry
-        return c * k_sub < n_alive
+    def _stage(cur, alive_in, alive_out, k_sub, first_round, last_round):
+        """Extend survivors by 16-byte blocks over rounds
+        [first_round, last_round) in chunks of k_sub entries of alive_first;
+        alive_out records who still lives at last_round (None on the final
+        stage).  Exact at any survivor count via the chunk while-loop."""
 
-    def chunk_body(carry):
-        c, cur = carry
-        sub_p = lax.dynamic_slice(alive_first, (c * k_sub,), (k_sub,))
-        sub_pc = jnp.clip(sub_p, 0, n - 1)
-        sub_q = best_q[sub_pc]
-        sub_cur = cur[sub_pc]
-        sub_cap = cap_back[sub_pc]
-        sub_alive = alive[sub_pc] & (sub_p < n)
+        def chunk_cond(carry):
+            c = carry[0]
+            return c * k_sub < n_alive
 
-        def tail_cond(tc):
-            k, scur, salive = tc
-            return (k < LZ_MATCH_MAX_LEN // 16) & salive.any()
+        def chunk_body(carry):
+            c, cur, aout = carry
+            sub_p = lax.dynamic_slice(alive_first, (c * k_sub,), (k_sub,))
+            sub_pc = jnp.clip(sub_p, 0, n - 1)
+            sub_q = best_q[sub_pc]
+            sub_cur = cur[sub_pc]
+            sub_cap = cap_back[sub_pc]
+            sub_alive = alive_in[sub_pc] & (sub_p < n)
 
-        def tail_round(tc):
-            k, scur, salive = tc
-            off = 16 * k
-            qb = jnp.where(salive, sub_q, 0)
-            pb = jnp.where(salive, sub_p, 0)
-            xors = [
-                _gather_dwords(ba.dw, qb, off + 4 * t)
-                ^ _gather_dwords(ba.dw, pb, off + 4 * t)
-                for t in range(4)
-            ]
-            lcp, full = _lcp_block(*xors)
-            scur = jnp.where(salive, scur + lcp, scur)
-            scur = jnp.minimum(scur, sub_cap)
-            return k + 1, scur, salive & full & (scur < sub_cap)
+            def tail_cond(tc):
+                k, scur, salive = tc
+                return (k < last_round) & salive.any()
 
-        _, sub_cur, _ = lax.while_loop(
-            tail_cond, tail_round, (jnp.int32(LCP0 // 16), sub_cur, sub_alive)
+            def tail_round(tc):
+                k, scur, salive = tc
+                off = 16 * k
+                qb = jnp.where(salive, sub_q, 0)
+                pb = jnp.where(salive, sub_p, 0)
+                xors = [
+                    _gather_dwords(ba.dw, qb, off + 4 * t)
+                    ^ _gather_dwords(ba.dw, pb, off + 4 * t)
+                    for t in range(4)
+                ]
+                lcp, full = _lcp_block(*xors)
+                scur = jnp.where(salive, scur + lcp, scur)
+                scur = jnp.minimum(scur, sub_cap)
+                return k + 1, scur, salive & full & (scur < sub_cap)
+
+            _, sub_cur, sub_alive = lax.while_loop(
+                tail_cond, tail_round,
+                (jnp.int32(first_round), sub_cur, sub_alive),
+            )
+            cur = cur.at[sub_p].set(sub_cur, mode="drop", unique_indices=True)
+            if aout is not None:
+                aout = aout.at[sub_p].set(sub_alive, mode="drop",
+                                          unique_indices=True)
+            return c + 1, cur, aout
+
+        _, cur, alive_out = lax.while_loop(
+            chunk_cond, chunk_body, (jnp.int32(0), cur, alive_out)
         )
-        cur = cur.at[sub_p].set(sub_cur, mode="drop", unique_indices=True)
-        return c + 1, cur
+        return cur, alive_out
 
-    _, cur = lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), cur))
+    # Stage A: two rounds (32 -> 64 bytes) over the ~1-2% of positions whose
+    # 32-byte window fully matched.  Stage B: the remaining rounds run only
+    # over stage-A survivors (len >= 64, typically ~4x rarer), in 4x smaller
+    # chunks — the long-match tail no longer drags full-width gathers
+    # through up to 13 rounds.
+    alive64 = jnp.zeros(n, bool)
+    cur, alive64 = _stage(cur, alive, alive64, k_a, LCP0 // 16, LCP0 // 16 + 2)
+    cur, _ = _stage(cur, alive64, None, k_b, LCP0 // 16 + 2,
+                    LZ_MATCH_MAX_LEN // 16)
 
     blen = jnp.minimum(cur, LZ_MATCH_MAX_LEN)
     has = (

@@ -73,15 +73,21 @@ def pack_items(
     valid = jnp.arange(m, dtype=jnp.int32) < n_items
     cid = jnp.where(valid, chunk_id, c_max - 1)
 
+    # flat 1d gathers (2d-index gathers lower via a slow async-slice path)
+    ns = codesA.shape[1]
+    ixAB = cid * ns + coded
     code1 = jnp.where(
-        after_literal == 1, codesA[cid, coded], codesB[cid, coded]
+        after_literal == 1, codesA.reshape(-1)[ixAB], codesB.reshape(-1)[ixAB]
     )
-    len1 = jnp.where(after_literal == 1, lensA[cid, coded], lensB[cid, coded])
+    len1 = jnp.where(
+        after_literal == 1, lensA.reshape(-1)[ixAB], lensB.reshape(-1)[ixAB]
+    )
     is_match = kind == 2
     has_ext = is_match & (eml >= lenid_escape)
     emlc = jnp.clip(eml, 0, codesC.shape[1] - 1)
-    code3 = jnp.where(has_ext, codesC[cid, emlc], 0)
-    len3 = jnp.where(has_ext, lensC[cid, emlc], 0)
+    ixC = cid * ns + emlc
+    code3 = jnp.where(has_ext, codesC.reshape(-1)[ixC], 0)
+    len3 = jnp.where(has_ext, lensC.reshape(-1)[ixC], 0)
     len2 = jnp.where(is_match, robitlen, 0)
     code2 = jnp.where(is_match, robits, 0)
 

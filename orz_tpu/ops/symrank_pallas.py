@@ -275,18 +275,19 @@ def symrank_pallas(
     )
     r1c = jnp.minimum(r1, r1_cap)
     # valid items occupy unique (round, lane) slots; everything else gets a
-    # unique out-of-bounds row so the scatters can promise uniqueness
+    # unique out-of-bounds slot so the scatters can promise uniqueness.
+    # Scatters/gathers use FLAT 1d indices: XLA TPU lowers 2d-index scatters
+    # through a slow async-slice path (~80 ms each at 1M items on v5e).
     in_w = valid & (r_item < r1c)
-    roww = jnp.where(in_w, r_item, r1_cap + idx)
-    sched_w = jnp.zeros((r1_cap, C), jnp.int32).at[roww, lane].set(
+    flat_w = jnp.where(in_w, r_item * C + lane, r1_cap * C + idx)
+    sched_w = jnp.zeros(r1_cap * C, jnp.int32).at[flat_w].set(
         pack, mode="drop", unique_indices=True
-    )
+    ).reshape(r1_cap, C)
     in_m = valid & (r_item >= r1c) & (r_item - r1c < rm_cap)
-    rowm = jnp.where(in_m, r_item - r1c, rm_cap + idx)
-    lanem = jnp.where(in_m, lane, 0)
-    sched_m = jnp.zeros((rm_cap, C_MID), jnp.int32).at[rowm, lanem].set(
+    flat_m = jnp.where(in_m, (r_item - r1c) * C_MID + lane, rm_cap * C_MID + idx)
+    sched_m = jnp.zeros(rm_cap * C_MID, jnp.int32).at[flat_m].set(
         pack, mode="drop", unique_indices=True
-    )
+    ).reshape(rm_cap, C_MID)
 
     va0 = jnp.concatenate(
         [
@@ -306,9 +307,14 @@ def symrank_pallas(
     )
     out_m, _, _, _ = _phase_call(sched_m, rm, va1, cnt1, isum1, C_MID)
 
-    codes_w = out_w[jnp.clip(r_item, 0, r1_cap - 1), lane]
-    codes_m = out_m[
-        jnp.clip(r_item - r1c, 0, rm_cap - 1), jnp.clip(lane, 0, C_MID - 1)
+    w_rows = out_w.shape[0]
+    m_rows = out_m.shape[0]
+    codes_w = out_w.reshape(-1)[
+        jnp.clip(r_item, 0, w_rows - 1) * C + lane
+    ]
+    codes_m = out_m.reshape(-1)[
+        jnp.clip(r_item - r1c, 0, m_rows - 1) * C_MID
+        + jnp.clip(lane, 0, C_MID - 1)
     ]
     return jnp.where(r_item < r1c, codes_w, codes_m)
 

@@ -302,18 +302,18 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     )
     n_alive = alive.sum()
 
-    def _stage(cur, alive_in, alive_out, k_sub, first_round, last_round):
+    def _stage(cur, alive_in, alive_out, k_sub, first_round, last_round,
+               n_fast=1):
         """Extend survivors by 16-byte blocks over rounds
         [first_round, last_round) in chunks of k_sub entries of alive_first;
         alive_out records who still lives at last_round (None on the final
-        stage).  Exact at any survivor count via the chunk while-loop."""
+        stage).  The single-chunk case (survivors fit k_sub — virtually
+        always) runs straight-line under lax.cond: a chunk WHILE-loop would
+        carry the full-size cur/alive arrays and XLA brackets every dynamic
+        loop with memory-space copies of its carries (~90 ms each at 4Mi);
+        the multi-chunk fallback keeps exactness at any survivor count."""
 
-        def chunk_cond(carry):
-            c = carry[0]
-            return c * k_sub < n_alive
-
-        def chunk_body(carry):
-            c, cur, aout = carry
+        def one_chunk(c, cur, aout):
             sub_p = lax.dynamic_slice(alive_first, (c * k_sub,), (k_sub,))
             sub_pc = jnp.clip(sub_p, 0, n - 1)
             sub_q = best_q[sub_pc]
@@ -348,12 +348,29 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
             if aout is not None:
                 aout = aout.at[sub_p].set(sub_alive, mode="drop",
                                           unique_indices=True)
-            return c + 1, cur, aout
+            return cur, aout
 
-        _, cur, alive_out = lax.while_loop(
-            chunk_cond, chunk_body, (jnp.int32(0), cur, alive_out)
-        )
-        return cur, alive_out
+        def fast(cur, aout):
+            for c in range(n_fast):
+                cur, aout = one_chunk(jnp.int32(c), cur, aout)
+            return cur, aout
+
+        def general(cur, aout):
+            def chunk_cond(carry):
+                return carry[0] * k_sub < n_alive
+
+            def chunk_body(carry):
+                c, cur, aout = carry
+                cur, aout = one_chunk(c, cur, aout)
+                return c + 1, cur, aout
+
+            _, cur, aout = lax.while_loop(
+                chunk_cond, chunk_body, (jnp.int32(0), cur, aout)
+            )
+            return cur, aout
+
+        return lax.cond(n_alive <= n_fast * k_sub, fast, general,
+                        cur, alive_out)
 
     # Stage A: two rounds (32 -> 64 bytes) over the ~1-2% of positions whose
     # 32-byte window fully matched.  Stage B: the remaining rounds run only
@@ -362,8 +379,11 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     # through up to 13 rounds.
     alive64 = jnp.zeros(n, bool)
     cur, alive64 = _stage(cur, alive, alive64, k_a, LCP0 // 16, LCP0 // 16 + 2)
+    # stage B iterates the alive32-ordered prefix, so its fast path spans
+    # 4 straight-line chunks (= stage A's coverage); all-dead chunks exit
+    # their round loop immediately
     cur, _ = _stage(cur, alive64, None, k_b, LCP0 // 16 + 2,
-                    LZ_MATCH_MAX_LEN // 16)
+                    LZ_MATCH_MAX_LEN // 16, n_fast=4)
 
     blen = jnp.minimum(cur, LZ_MATCH_MAX_LEN)
     has = (

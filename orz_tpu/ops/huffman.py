@@ -17,7 +17,9 @@ from orz_tpu.constants import HUFFMAN_MAX_CODE_LEN
 from orz_tpu.device.spec import SYMRANK_NUM_SYMBOLS
 
 N_SYM = SYMRANK_NUM_SYMBOLS  # 431
-INF = jnp.int32(1) << 28  # weights are < 2^21; INF+INF stays < 2^31
+# plain python int: a module-level jnp scalar would initialize the XLA
+# backend at import time, breaking jax.distributed.initialize ordering
+INF = 1 << 28  # weights are < 2^21; INF+INF stays < 2^31
 
 
 def pm_code_lens(w: jnp.ndarray, max_len: int = HUFFMAN_MAX_CODE_LEN) -> jnp.ndarray:

@@ -52,7 +52,18 @@ def maybe_initialize() -> None:
     if not already:
         import jax
 
-        jax.distributed.initialize()
+        # explicit local-cluster env (the multi-process CPU tests use this);
+        # without the extra vars fall through to jax's own auto-detection
+        num = os.environ.get("ORZ_NUM_PROCESSES")
+        pid = os.environ.get("ORZ_PROCESS_ID")
+        if num is not None and pid is not None:
+            jax.distributed.initialize(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(num),
+                process_id=int(pid),
+            )
+        else:
+            jax.distributed.initialize()
 
 
 def process_info():

@@ -107,16 +107,53 @@ def pack_items(
     words_per_chunk = (bitlen + 31) >> 5
     word_base = jnp.cumsum(words_per_chunk) - words_per_chunk
 
+    # merge the (up to three) fields into one <=43-bit value held as a
+    # uint32 (hi, lo) pair, then OR it into the stream with three
+    # scatter-adds — half the scatters of a field-at-a-time loop (item-count
+    # scatters are ~8 ms per million items on v5e)
+    c1 = code1.astype(jnp.uint32)
+    c2 = code2.astype(jnp.uint32)
+    c3 = code3.astype(jnp.uint32)
+    l23 = len2 + len3  # <= 13 + 15: always < 32
+    # V = c1:c2:c3 (c1 most significant), tt = t_total <= 43 bits, held as
+    # (hi, lo) with lo = V's low 32 bits
+    lo = (c1 << jnp.clip(l23, 0, 31).astype(jnp.uint32)) \
+        | (c2 << len3.astype(jnp.uint32)) | c3
+    hi = jnp.where(
+        t_total > 32,
+        c1 >> jnp.clip(32 - l23, 0, 31).astype(jnp.uint32),
+        jnp.uint32(0),
+    )
+
+    def _shl(v, k):  # uint32 shift with clamped traced amount
+        return v << jnp.clip(k, 0, 31).astype(jnp.uint32)
+
+    def _shr(v, k):
+        return v >> jnp.clip(k, 0, 31).astype(jnp.uint32)
+
+    tt = jnp.where(valid, t_total, 0).astype(jnp.int32)
+    widx = word_base[cid] + (off >> 5)
+    s = off & 31
+    # V occupies stream bits [s, s+tt) of words widx.. (MSB-first): word 0
+    # takes V's top 32-s bits, r = s+tt-32 bits spill into words 1 and 2
+    r = s + tt - 32
+    w0 = jnp.where(
+        r <= 0,
+        _shl(lo, -r),
+        jnp.where(r < 32, _shr(lo, r) | _shl(hi, 32 - r), _shr(hi, r - 32)),
+    )
+    w1 = jnp.where(
+        r <= 0,
+        jnp.uint32(0),
+        jnp.where(r <= 32, _shl(lo, 32 - r), _shr(lo, r - 32) | _shl(hi, 64 - r)),
+    )
+    w2 = jnp.where(r > 32, _shl(lo, 64 - r), jnp.uint32(0))
+    w0 = jnp.where(tt > 0, w0, 0)
+
+    nw = w_total
     words = jnp.zeros(w_total, jnp.uint32)
-    for code, t, field_off in (
-        (code1, len1, 0),
-        (code2, len2, len1),
-        (code3, len3, len1 + len2),
-    ):
-        o = off + field_off
-        widx = word_base[cid] + (o >> 5)
-        s = o & 31
-        tt = jnp.where(valid, t, 0)
-        words = _scatter_field(words, widx, code.astype(jnp.uint32), tt, s)
+    words = words.at[jnp.clip(widx, 0, nw - 1)].add(w0)
+    words = words.at[jnp.clip(widx + 1, 0, nw - 1)].add(w1)
+    words = words.at[jnp.clip(widx + 2, 0, nw - 1)].add(w2)
 
     return Packed(words, word_base, bitlen, items_per_chunk)

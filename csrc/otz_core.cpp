@@ -253,7 +253,8 @@ struct Decoder {
 
     buf.assign(PAD_FRONT + raw_len + PAD_TAIL, 0);
     end = PAD_FRONT + raw_len;
-    int pred_flag = (int)bd.raw(1);  // length-prediction header bit
+    int pred_flag = (int)bd.raw(1);   // length-prediction header bit
+    int rings_flag = (int)bd.raw(1);  // 1: item-start rings (spec.py OTZ2)
     std::vector<uint8_t> len_min_arr, expected_arr;
     if (pred_flag) {
       len_min_arr.assign(PAD_FRONT + raw_len, 0);
@@ -295,7 +296,9 @@ struct Decoder {
 
       for (int64_t it = 0; it < n_items; it++) {
         if (p >= end || bd.fail) return -5;
-        while (done_ring < p) {
+        // rings_flag=0: every position enters its context ring; =1: only
+        // item starts do (inserted at the bottom, after the item's lookup)
+        while (!rings_flag && done_ring < p) {
           ring_log[cctx_at(done_ring)].push_back((int32_t)done_ring);
           done_ring++;
         }
@@ -305,6 +308,7 @@ struct Decoder {
           done_word++;
         }
 
+        int64_t p0 = p;  // item start (ring-inserted below if rings_flag)
         int c1 = cctx_at(p);
         int last_word = words[h2_at(p - 1)];
         int sr_ctx = c1 | ((int)after_literal << 8);
@@ -369,6 +373,7 @@ struct Decoder {
           p += match_len;
           after_literal = false;
         }
+        if (rings_flag) ring_log[c1].push_back((int32_t)p0);
       }
     }
     if (p != end) return -11;

@@ -356,7 +356,8 @@ def _take_words(words: jnp.ndarray, k: int) -> jnp.ndarray:
     return jax.lax.slice(words, (0,), (k,))
 
 
-def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input: int) -> bytes:
+def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input: int,
+                     rings_mode: int = 0) -> bytes:
     """Host stream assembly from device outputs (headers + payload splice).
 
     Exactly two device fetches: the packed meta array and a size-bucketed
@@ -381,6 +382,7 @@ def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input
     words = np.asarray(_take_words(out.words, k_fetch))
 
     enc.encode_raw_bits(pred_len, 1)  # prediction flag
+    enc.encode_raw_bits(rings_mode, 1)  # ring insertion rule (spec.py OTZ2)
     enc.encode_varint(num_counted)
     for s in order[:num_counted]:
         enc.encode_raw_bits(int(s), 9)

@@ -14,6 +14,8 @@ reference src/coder.rs:159-216):
     varint raw_len
     varint chunk_input                      # entropy-chunk size in input bytes
     [raw_len == 0 ends here]
+    1 bit pred_len                          # length prediction active
+    1 bit rings_mode                        # 1: item-start rings (spec.py OTZ2)
     varint num_counted                      # symbol census of chunk 0's items
     9 bits x num_counted                    # (reference src/lz.rs:238-265)
     per chunk (ceil(raw_len / chunk_input) of them):
@@ -32,10 +34,11 @@ Model semantics (all bytes-only; b is the padded buffer, data in
     word model: for EVERY position u, the update word[h2(u)] = (b[u+1],
         b[u+2]) becomes visible at positions p >= u+3.  The prediction at p
         is word[h2(p-1)].
-    rings: EVERY position q is inserted into ring[cctx(q)].  The reduced
-        offset of q seen from p (same context c) is the number of
-        context-c positions strictly between q and p; it must be < RING
-        (32766; extended ROID schedule, see spec.py).
+    rings: rings_mode=0 inserts EVERY position q into ring[cctx(q)];
+        rings_mode=1 (OTZ2) inserts only ITEM STARTS, as each item is
+        decoded.  The reduced offset of q seen from p (same context c) is
+        the number of ring-inserted context-c positions strictly between
+        q and p; it must be < RING (32766; extended ROID schedule, spec.py).
     candidates(p): among the last D positions q < p with
         match_key(q) == match_key(p) (cctx + hashed dword), keep those with
         reduced offset < RING whose 16-byte LCP meets the offset's price
@@ -82,6 +85,7 @@ from orz_tpu.device.spec import (
     LZ_MATCH_MAX_LEN,
     LZ_MATCH_MIN_LEN,
     NUM_CONTEXTS,
+    OTZ2_RO_CAP,
     PAD_FRONT,
     PAD_TAIL,
     RING,
@@ -141,8 +145,17 @@ class Items:
     pred_len: bool = True  # length prediction active (segment header bit)
 
 
-def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
-    """Sequential per-position analysis (the oracle for ops/analyze.py)."""
+def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
+                start_mask: np.ndarray | None = None) -> Analysis:
+    """Sequential per-position analysis (the oracle for ops/analyze.py).
+
+    start_mask (OTZ2, spec.py): candidates are restricted to positions in
+    the mask, scanned within the last `depth` same-key positions (matching
+    the device's masked shift window).  Gates and bestro then use the
+    START-RANK ESTIMATE over the mask (number of masked same-context
+    positions strictly between q and p) — the final-item start rank differs
+    from it only by demoted literals, and emission recomputes the exact
+    value (parse_ref rings_mode=1)."""
     n = len(buf)
     end = PAD_FRONT + seg_len
     cctx = cctx_all(buf)
@@ -156,6 +169,8 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
     bestq = np.zeros(n, dtype=np.int64)
 
     ctx_count = np.zeros(NUM_CONTEXTS, dtype=np.int64)
+    scnt_ctx = np.zeros(NUM_CONTEXTS, dtype=np.int64)  # masked per-ctx counts
+    scnt_pos = np.zeros(n, dtype=np.int64)  # masked count before q, at masked q
     words = np.zeros(WORD_TABLE_SIZE, dtype=np.int64)
     chains: dict = {}
 
@@ -176,7 +191,14 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
         best32, bro, blen, bq = 0, -1, 0, 0
         if chain:
             for q in chain[-1 : -depth - 1 : -1]:
-                ro = rank[p] - 1 - rank[q]
+                if start_mask is not None:
+                    if not start_mask[q]:
+                        continue
+                    ro = scnt_ctx[cctx[p]] - scnt_pos[q] - 1
+                    if ro >= OTZ2_RO_CAP:  # orz's ring depth (spec.py)
+                        continue
+                else:
+                    ro = rank[p] - 1 - rank[q]
                 if ro >= RING:
                     continue
                 l32 = min(_lcp(buf, q, p, 32), cap)
@@ -196,6 +218,9 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int) -> Analysis:
 
         chains.setdefault(mkey[p], []).append(p)
         ctx_count[cctx[p]] += 1
+        if start_mask is not None and start_mask[p]:
+            scnt_pos[p] = scnt_ctx[cctx[p]]
+            scnt_ctx[cctx[p]] += 1
 
     b32 = buf.astype(np.int64)
     nxt = np.roll(b32, -1)
@@ -216,8 +241,9 @@ def _lcp(buf: np.ndarray, q: int, p: int, cap: int) -> int:
     return cap if not neq[i] else i
 
 
-def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int) -> Items:
-    """Sequential parse walk (the oracle for ops/parse.py)."""
+def parse_walk(an: Analysis, buf: np.ndarray, seg_len: int):
+    """Sequential parse walk -> (start, kind, length) arrays (the oracle for
+    ops/parse.py decisions + walk_items)."""
     end = PAD_FRONT + seg_len
     starts: List[int] = []
     kinds: List[int] = []
@@ -252,17 +278,13 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int) -> Items:
             lengths.append(1)
             p += 1
 
-    start = np.asarray(starts, dtype=np.int64)
-    kind = np.asarray(kinds, dtype=np.int64)
-    length = np.asarray(lengths, dtype=np.int64)
+    return (np.asarray(starts, dtype=np.int64), np.asarray(kinds, dtype=np.int64),
+            np.asarray(lengths, dtype=np.int64))
 
-    after_literal = np.empty(len(start), dtype=np.int64)
-    if len(start):
-        after_literal[0] = 1
-        after_literal[1:] = kind[:-1] == 0
 
-    # rep0: match whose distance equals the previous match's distance
-    dist = np.where(kind == 2, start - an.bestq[start], 0)
+def _rep0_flags(start, kind, q_of):
+    """(dist, prev_dist, rep0) over the item arrays, stream order."""
+    dist = np.where(kind == 2, start - q_of, 0)
     prev_dist = np.zeros(len(start), dtype=np.int64)
     last = 0
     for i in range(len(start)):
@@ -270,6 +292,127 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int) -> Items:
         if kind[i] == 2:
             last = dist[i]
     rep0 = (kind == 2) & (dist == prev_dist) & (prev_dist > 0)
+    return dist, prev_dist, rep0
+
+
+def _start_ranks(start, cctx):
+    """srank[i] = number of earlier item starts with the same context (the
+    exact OTZ2 ring rank of item i's start)."""
+    c = cctx[start]
+    srank = np.zeros(len(start), dtype=np.int64)
+    # starts are ascending; vectorized grouped occurrence index
+    order = np.argsort(c, kind="stable")
+    cs = c[order]
+    first = np.ones(len(cs), dtype=bool)
+    first[1:] = cs[1:] != cs[:-1]
+    idxs = np.arange(len(cs))
+    occ = idxs - np.maximum.accumulate(np.where(first, idxs, 0))
+    srank[order] = occ
+    return srank
+
+
+def _demote_spans(start, kind, length, q, demote):
+    """Expand every demoted item's span into length-1 literal items (other
+    items pass through).  Only ADDS item starts — the monotonicity that makes
+    the OTZ2 repair loop converge (spec.py)."""
+    reps = np.where(demote, length, 1)
+    ends = np.cumsum(reps)
+    base = np.repeat(start, reps)
+    off = np.arange(int(ends[-1]) if len(reps) else 0, dtype=np.int64) \
+        - np.repeat(ends - reps, reps)
+    new_start = base + off
+    new_kind = np.repeat(np.where(demote, 0, kind), reps)
+    new_length = np.where(new_kind == 0, 1, np.repeat(length, reps))
+    new_q = np.repeat(np.where(demote, 0, q), reps)
+    return new_start, new_kind, new_length, new_q
+
+
+def conform_items(an: Analysis, start, kind, length):
+    """OTZ2 conform step (spec.py): hold the parse's item boundaries fixed
+    and re-target every match at the masked analysis `an` (whose candidates
+    all lie on ring-inserted starts).  A match whose masked candidate is
+    shorter than the item shrinks to it — the tail becomes length-1 literal
+    items; one with no masked candidate demotes entirely.  Both only ADD
+    starts.  Returns (start, kind, length, q)."""
+    bl = np.where(kind == 2, an.bestlen[start], 0)
+    q = np.where(kind == 2, an.bestq[start], 0)
+    has = (kind == 2) & (bl >= LZ_MATCH_MIN_LEN)
+    new_len = np.where(has, np.minimum(length, bl), length)
+    demote = (kind == 2) & ~has
+    # shrink: emit the kept match, then expand the tail via a demoted
+    # pseudo-item covering [start+new_len, start+length)
+    shrink = has & (new_len < length)
+    if shrink.any():
+        ts = (start + new_len)[shrink]
+        tl = (length - new_len)[shrink]
+        start = np.concatenate([start, ts])
+        kind = np.concatenate([kind, np.full(len(ts), 2, np.int64)])
+        length = np.concatenate([new_len, tl])
+        q = np.concatenate([q, np.zeros(len(ts), np.int64)])
+        demote = np.concatenate([demote, np.ones(len(ts), bool)])
+        order = np.argsort(start, kind="stable")
+        start, kind, length, q, demote = (a[order] for a in (start, kind, length, q, demote))
+    else:
+        length = new_len
+    return _demote_spans(start, kind, length, q, demote)
+
+
+def repair_items(an: Analysis, start, kind, length, q):
+    """OTZ2 demotion repair (spec.py): demote every non-rep0 match whose
+    target is not an item start — or whose exact start-rank reduced offset
+    reaches RING — to length-1 literal items, until no violations remain
+    (after conform_items, only RING overflow can still occur).
+
+    Returns (start, kind, length, q, ro_exact, rep0) with ro_exact the final
+    start-rank reduced offsets (0 for rep0/non-match items), or None if
+    OTZ2_REPAIR_PASSES passes did not converge (caller falls back to
+    rings_mode=0)."""
+    from orz_tpu.device.spec import OTZ2_REPAIR_PASSES
+
+    for _ in range(OTZ2_REPAIR_PASSES + 1):
+        _, _, rep0 = _rep0_flags(start, kind, q)
+        srank = _start_ranks(start, an.cctx)
+        # membership + rank of each match target among starts
+        idx = np.searchsorted(start, q)
+        idxc = np.minimum(idx, max(len(start) - 1, 0))
+        q_is_start = (kind == 2) & (len(start) > 0) & (start[idxc] == q)
+        ro = np.where(q_is_start, srank - srank[idxc] - 1, 0)
+        # format bound is RING, not OTZ2_RO_CAP: an offset that drifted past
+        # the search cap (repair adds starts) still beats demotion by far
+        viol = (kind == 2) & ~rep0 & (~q_is_start | (ro >= RING))
+        if not viol.any():
+            ro_exact = np.where((kind == 2) & ~rep0 & q_is_start, ro, 0)
+            return start, kind, length, q, ro_exact, rep0
+        start, kind, length, q = _demote_spans(start, kind, length, q, viol)
+    return None
+
+
+def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int,
+              rings_mode: int = 0, walk=None) -> Items | None:
+    """Sequential parse + item emission (the oracle for ops/parse.py).
+
+    rings_mode=1 (OTZ2): `an` must be a masked analyze_ref pass whose mask
+    is exactly the start set of `walk` (the boundaries being emitted);
+    conform_items re-targets matches onto masked candidates, then demotion
+    repair makes reduced offsets exact start ranks.  Returns None when
+    repair does not converge (fall back to rings_mode=0)."""
+    end = PAD_FRONT + seg_len
+    start, kind, length = walk if walk is not None else parse_walk(an, buf, seg_len)
+
+    if rings_mode:
+        start, kind, length, q_arr = conform_items(an, start, kind, length)
+        rep = repair_items(an, start, kind, length, q_arr)
+        if rep is None:
+            return None
+        start, kind, length, q_arr, ro_exact, rep0 = rep
+    else:
+        q_arr = np.where(kind == 2, an.bestq[start], 0)
+        _, _, rep0 = _rep0_flags(start, kind, q_arr)
+
+    after_literal = np.empty(len(start), dtype=np.int64)
+    if len(start):
+        after_literal[0] = 1
+        after_literal[1:] = kind[:-1] == 0
 
     # length prediction (the reference's len_min/len_expected side-info,
     # src/matcher.rs:32-50, src/lz.rs:173-177): both values are functions of
@@ -277,7 +420,6 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int) -> Items:
     # expected(q) = length coded if a match item started at q, else 0;
     # len_min(q) = running min(127, max earlier match length against q + 1).
     eml = np.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
-    q_arr = np.where(kind == 2, an.bestq[start], 0)
     expected_arr = np.zeros(len(buf), dtype=np.int64)
     len_min_arr = np.zeros(len(buf), dtype=np.int64)
     pred_ok = True
@@ -307,7 +449,9 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int) -> Items:
     if not pred_ok:
         eml = np.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
 
-    ro = an.bestro[start]
+    # rings_mode=1: exact start-rank offsets from the repair; else the
+    # analysis's every-position ranks (an.bestro at non-match starts is 0)
+    ro = ro_exact if rings_mode else an.bestro[start]
     roid = np.where(kind == 2, ROID_ENC[ro, 0], 0)
     robitlen = np.where((kind == 2) & ~rep0, ROID_ENC[ro, 1], 0)
     robits = np.where((kind == 2) & ~rep0, ROID_ENC[ro, 2], 0)
@@ -343,8 +487,18 @@ def symrank_ref(items: Items, init_perm: np.ndarray) -> np.ndarray:
     return coded
 
 
-def encode_segment_ref(data: bytes, level: int = 1, chunk_input: int = CHUNK_INPUT_DEFAULT) -> bytes:
-    """Sequential OTZ encoder (slow; the stream-level oracle)."""
+def encode_segment_ref(data: bytes, level: int = 1,
+                       chunk_input: int = CHUNK_INPUT_DEFAULT,
+                       rings_mode: int | None = None) -> bytes:
+    """Sequential OTZ encoder (slow; the stream-level oracle).
+
+    rings_mode None picks the level default (spec.otz2_enabled); 1 runs the
+    OTZ2 item-start-ring path: a masked re-analysis over the base parse's
+    item starts, then demotion repair (spec.py OTZ2 block)."""
+    from orz_tpu.device.spec import OTZ2_ITERS, OTZ2_SHIFTS, otz2_enabled
+
+    if rings_mode is None:
+        rings_mode = int(otz2_enabled(level))
     enc = BitEncoder()
     enc.encode_varint(len(data))
     enc.encode_varint(chunk_input)
@@ -353,8 +507,22 @@ def encode_segment_ref(data: bytes, level: int = 1, chunk_input: int = CHUNK_INP
 
     buf = pad_segment(data)
     an = analyze_ref(buf, len(data), candidate_depth(level))
-    items = parse_ref(an, buf, len(data))
+    items = None
+    if rings_mode:
+        walk = parse_walk(an, buf, len(data))
+        for k in range(OTZ2_ITERS):
+            mask = np.zeros(len(buf), dtype=bool)
+            mask[walk[0]] = True
+            an2 = analyze_ref(buf, len(data), OTZ2_SHIFTS, start_mask=mask)
+            if k < OTZ2_ITERS - 1:
+                walk = parse_walk(an2, buf, len(data))
+        items = parse_ref(an2, buf, len(data), rings_mode=1, walk=walk)
+        if items is None:  # repair did not converge: OTZ1 fallback
+            rings_mode = 0
+    if items is None:
+        items = parse_ref(an, buf, len(data))
     enc.encode_raw_bits(int(items.pred_len), 1)  # length-prediction flag
+    enc.encode_raw_bits(rings_mode, 1)  # ring insertion rule (spec.py OTZ2)
 
     n_chunks = n_chunks_for(len(data), chunk_input)
     chunk_id = (items.start - PAD_FRONT) // chunk_input
@@ -422,6 +590,7 @@ def decode_segment_ref(payload: bytes) -> bytes:
     buf = np.zeros(PAD_FRONT + raw_len + PAD_TAIL, dtype=np.uint8)
     end = PAD_FRONT + raw_len
     pred_len = dec.decode_raw_bits(1)
+    rings_mode = dec.decode_raw_bits(1)  # 1: item-start rings (spec.py OTZ2)
 
     num_counted = dec.decode_varint()
     if num_counted > SYMRANK_NUM_SYMBOLS:
@@ -479,9 +648,11 @@ def decode_segment_ref(payload: bytes) -> bytes:
         for _ in range(n_items):
             if p >= end:
                 raise OTZFormatError("items past end")
-            # catch up bytes-only model state: every position q < p enters
-            # its context ring; word updates for u <= p-3 become visible
-            while done_ring < p:
+            # catch up bytes-only model state; word updates for u <= p-3
+            # become visible.  rings_mode=0: every position q < p enters its
+            # context ring; rings_mode=1: only item starts do (inserted at
+            # the bottom of this loop, after the item's own ring lookup).
+            while not rings_mode and done_ring < p:
                 c = cctx_at(done_ring)
                 ring[c, ctx_count[c] % RING] = done_ring
                 ctx_count[c] += 1
@@ -491,6 +662,7 @@ def decode_segment_ref(payload: bytes) -> bytes:
                 words[h2_at(u)] = int(buf[u + 1]) | int(buf[u + 2]) << 8
                 done_word += 1
 
+            p0 = p  # item start (ring-inserted below when rings_mode=1)
             c1 = cctx_at(p)
             last_word = int(words[h2_at(p - 1)])
             sr_ctx = c1 | (int(after_literal) << 8)
@@ -552,6 +724,10 @@ def decode_segment_ref(payload: bytes) -> bytes:
                 last_dist = p - q
                 p += match_len
                 after_literal = False
+
+            if rings_mode:  # item-start ring insertion (after own lookup)
+                ring[c1, ctx_count[c1] % RING] = p0
+                ctx_count[c1] += 1
 
     if p != end:
         raise OTZFormatError("decoded length mismatch")

@@ -69,6 +69,41 @@ ROID_GROUP_BITS = 1  # log2(OTZ_ROID_GROUP)
 # (refcodec decode / csrc/otz_core.cpp).
 FENCE = 512
 
+# --- OTZ2: item-start rings (docs/OTZ2_DESIGN.md) --------------------------
+# rings_mode segment-header bit: 0 = every position enters its context ring
+# (bytes-only OTZ1 rule); 1 = only ITEM STARTS do (the reference's economics,
+# src/matcher.rs:62-80: ~6.5 raw offset bits/match instead of ~8; the
+# decoder inserts each item's start as it decodes).  The parallel encoder
+# resolves the parse<->ring circularity with DEMOTION REPAIR instead of a
+# fixed-point iteration: candidates of a re-parse are masked to the previous
+# parse's item starts (gated by start-rank-estimate offsets over that mask),
+# and at emission any non-rep0 match whose target is not a final item start
+# — or whose exact start-rank offset reaches RING — is demoted to literals.
+# Demotion only ADDS item starts (the span becomes length-1 literal items;
+# later item boundaries never move), so the repair loop is monotone and a
+# few passes converge; a segment that still has violations after
+# OTZ2_REPAIR_PASSES falls back to rings_mode=0 (always legal, per-segment
+# header bit).  rep0 matches are exempt: the decoder resolves them from the
+# last match distance without touching the rings.
+OTZ2_SHIFTS = 96  # sorted-space shift window for the masked candidate loop
+OTZ2_ITERS = 2  # masked re-parses before emission (quality knob)
+OTZ2_REPAIR_PASSES = 6
+# Encoder-side reduced-offset cap for rings_mode=1 (the reference's ring
+# depth, src/lz.rs:24).  Measured (512 KiB synthetic text, depth 45): with
+# item-start rings AND this cap the offset economics match orz exactly
+# (6.45 raw robits + 4.15 roid-entropy bits per match vs 11.4 uncapped);
+# far matches cost more in offset bits than they save in literals.  Not a
+# format bound — the stream still carries the extended ROID schedule.
+OTZ2_RO_CAP = 4094
+
+
+def otz2_enabled(level: int) -> bool:
+    # Off by default: measured end-to-end (60 KiB..4 MiB synthetic text),
+    # item-start rings alone do not yet beat OTZ1 — the conform/repair
+    # match-byte loss and residual offset cost outweigh the sparser ranks.
+    # The format support (header bit, decoders, oracle) stays, gated here.
+    return False
+
 # price gate: far reduced offsets cost 11-13 raw bits, so a minimum match
 # length scales with offset distance (near orz's implicit pricing via its
 # sparser rings).  OTZ_FAR_GATE env is a tuning knob for experiments; the

@@ -51,7 +51,9 @@ def test_analyze_and_parse_match_oracle(rng, maker):
 ])
 def test_device_stream_identical_and_roundtrip(rng, maker, size, level, ci):
     data = (make_text_like if maker == "text" else make_binary_like)(rng, size)
-    ref = rc.encode_segment_ref(data, level=level, chunk_input=ci)
+    # rings_mode pinned to the device pipeline's current mode (OTZ1) so the
+    # streams stay comparable; device OTZ2 identity is tested separately
+    ref = rc.encode_segment_ref(data, level=level, chunk_input=ci, rings_mode=0)
     dev = encode_segment_device(data, level=level, chunk_input=ci)
     assert dev == ref
     assert rc.decode_segment_ref(dev) == data
@@ -73,7 +75,7 @@ def test_staged_pipeline_stream_identical(rng):
 
     for maker, size, lvl in [("text", 10000, 2), ("binary", 6000, 1)]:
         data = (make_text_like if maker == "text" else make_binary_like)(rng, size)
-        ref = rc.encode_segment_ref(data, level=lvl, chunk_input=1 << 13)
+        ref = rc.encode_segment_ref(data, level=lvl, chunk_input=1 << 13, rings_mode=0)
         dev = encode_segment_staged(data, level=lvl, chunk_input=1 << 13)
         assert dev == ref
         assert rc.decode_segment_ref(dev) == data

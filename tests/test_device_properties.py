@@ -13,7 +13,7 @@ from orz_tpu.native.otz import decode_segment_native
 
 
 def _all_roundtrips(data: bytes, level: int, ci: int):
-    ref = rc.encode_segment_ref(data, level=level, chunk_input=ci)
+    ref = rc.encode_segment_ref(data, level=level, chunk_input=ci, rings_mode=0)
     dev = encode_segment_device(data, level=level, chunk_input=ci)
     staged = encode_segment_staged(data, level=level, chunk_input=ci)
     assert dev == ref, "device stream != oracle stream"

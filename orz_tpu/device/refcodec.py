@@ -405,10 +405,21 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int,
         if rep is None:
             return None
         start, kind, length, q_arr, ro_exact, rep0 = rep
+        ro = ro_exact
     else:
         q_arr = np.where(kind == 2, an.bestq[start], 0)
         _, _, rep0 = _rep0_flags(start, kind, q_arr)
+        # the analysis's every-position ranks (bestro at non-match starts: 0)
+        ro = an.bestro[start]
+    return _emit_items(an.cctx, an.pred, buf, seg_len, start, kind, length,
+                       q_arr, ro, rep0)
 
+
+def _emit_items(cctx_arr, pred_arr, buf, seg_len, start, kind, length, q_arr,
+                ro, rep0) -> Items:
+    """Item emission from a resolved parse: length prediction, symbols,
+    symrank contexts (shared by parse_ref and the sequential OTZ2 encoder)."""
+    end = PAD_FRONT + seg_len
     after_literal = np.empty(len(start), dtype=np.int64)
     if len(start):
         after_literal[0] = 1
@@ -449,9 +460,6 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int,
     if not pred_ok:
         eml = np.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
 
-    # rings_mode=1: exact start-rank offsets from the repair; else the
-    # analysis's every-position ranks (an.bestro at non-match starts is 0)
-    ro = ro_exact if rings_mode else an.bestro[start]
     roid = np.where(kind == 2, ROID_ENC[ro, 0], 0)
     robitlen = np.where((kind == 2) & ~rep0, ROID_ENC[ro, 1], 0)
     robits = np.where((kind == 2) & ~rep0, ROID_ENC[ro, 2], 0)
@@ -461,8 +469,8 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int,
         np.where(rep0, REP0_BASE + lenid, 256 + roid * LZ_LENID_SIZE + lenid),
         np.where(kind == 1, WORD_SYMBOL, buf[start].astype(np.int64)),
     )
-    sr_ctx = an.cctx[start] | (after_literal << 8)
-    sr_unlikely = an.pred[start] & 0xFF
+    sr_ctx = cctx_arr[start] | (after_literal << 8)
+    sr_unlikely = pred_arr[start] & 0xFF
     return Items(start, kind, length, symbol, sr_ctx, sr_unlikely, after_literal,
                  robitlen, robits, eml, pred_len=pred_ok)
 
@@ -521,10 +529,18 @@ def encode_segment_ref(data: bytes, level: int = 1,
             rings_mode = 0
     if items is None:
         items = parse_ref(an, buf, len(data))
+    return _finish_segment_stream(enc, items, len(data), chunk_input,
+                                  rings_mode)
+
+
+def _finish_segment_stream(enc: BitEncoder, items: Items, raw_len: int,
+                           chunk_input: int, rings_mode: int) -> bytes:
+    """Header bits + census + symrank + per-chunk entropy coding (shared by
+    every sequential encoder variant)."""
     enc.encode_raw_bits(int(items.pred_len), 1)  # length-prediction flag
     enc.encode_raw_bits(rings_mode, 1)  # ring insertion rule (spec.py OTZ2)
 
-    n_chunks = n_chunks_for(len(data), chunk_input)
+    n_chunks = n_chunks_for(raw_len, chunk_input)
     chunk_id = (items.start - PAD_FRONT) // chunk_input
     first_chunk = items.symbol[chunk_id == 0]
     num_counted, counted, init_perm = census_ref(first_chunk)
@@ -539,6 +555,150 @@ def encode_segment_ref(data: bytes, level: int = 1,
         enc.encode_varint(int(sel.sum()))
         _encode_chunk_items(enc, items, coded, sel)
     return enc.finish()
+
+
+def encode_segment_seq2(data: bytes, level: int = 2,
+                        chunk_input: int = CHUNK_INPUT_DEFAULT,
+                        depth: int | None = None,
+                        lazy_depths: tuple | None = None,
+                        fence: bool = True,
+                        ro_cap: int = OTZ2_RO_CAP,
+                        lcp0: int = 32) -> bytes:
+    """Sequential OTZ2 encoder: TRUE item-start rings, built exactly the way
+    the decoder replays them (insert each item's start after its own
+    lookup), so the stream is rings_mode=1-decodable by construction — no
+    conform/repair.  This mirrors the reference's sequential economics
+    (src/matcher.rs:62-80 item-start ring insertion; src/lz.rs:131-235 parse
+    loop with shallower lazy search depths) inside the OTZ format, and is
+    the oracle/measurement harness for the parallel fixed-point pipeline.
+
+    Knobs (measurement only; the format does not record them):
+      depth        chain-walk candidates per position (reference l2: 45)
+      lazy_depths  (d1, d2) for the lazy probes at p+1/p+2 (reference: 27/18)
+      fence        apply the 512-byte parse fence cap (device pipeline: yes)
+      ro_cap       candidate reduced-offset search cap (reference ring: 4094)
+    """
+    from orz_tpu.device.spec import LAZY_LEN_CAP, ROBITS_CHEAP
+
+    if depth is None:
+        depth = candidate_depth(level)
+    d1, d2 = lazy_depths if lazy_depths is not None else (depth, depth)
+
+    enc = BitEncoder()
+    enc.encode_varint(len(data))
+    enc.encode_varint(chunk_input)
+    if not data:
+        return enc.finish()
+
+    buf = pad_segment(data)
+    n = len(buf)
+    end = PAD_FRONT + len(data)
+    cctx = cctx_all(buf)
+    h2 = h2_all(buf)
+    mkey = match_key_all(buf)
+
+    words = np.zeros(WORD_TABLE_SIZE, dtype=np.int64)
+    pred = np.zeros(n, dtype=np.int64)  # filled at item starts (for census)
+    chains: dict = {}  # mkey -> list of item-start positions
+    rank_of = np.zeros(n, dtype=np.int64)  # item-start rank at insertion
+    ctx_count = np.zeros(NUM_CONTEXTS, dtype=np.int64)
+
+    def find_best(p, cap):
+        """Best item-start candidate at p: (len, ro, q) or (0, 0, -1)."""
+        chain = chains.get(mkey[p])
+        if not chain:
+            return 0, 0, -1
+        my_count = ctx_count[cctx[p]]
+        best32, bro, blen, bq = 0, -1, 0, -1
+        for q in chain[-1 : -depth - 1 : -1]:
+            ro = my_count - 1 - rank_of[q]
+            if ro >= ro_cap:
+                break  # ranks only grow down the chain
+            l32 = min(_lcp(buf, q, p, 32), cap)
+            if l32 < min_match_len_for_ro(ro):
+                continue
+            if l32 > best32:
+                best32, bro, bq = l32, ro, q
+                blen = min(_lcp(buf, q, p, LZ_MATCH_MAX_LEN), cap) \
+                    if l32 >= 32 else l32
+        if bq < 0 or blen < LZ_MATCH_MIN_LEN:
+            return 0, 0, -1
+        return blen, bro, bq
+
+    def has_lazy(p, want_len, d):
+        """Any item-start candidate at p with lcp >= want_len (reference
+        has_lazy_match, src/matcher.rs:194-228) under the price gate."""
+        if p >= end or want_len > min(
+            FENCE - ((p - PAD_FRONT) % FENCE) if fence else 1 << 30, end - p
+        ):
+            return False
+        chain = chains.get(mkey[p])
+        if not chain:
+            return False
+        my_count = ctx_count[cctx[p]]
+        for q in chain[-1 : -d - 1 : -1]:
+            ro = my_count - 1 - rank_of[q]
+            if ro >= ro_cap:
+                break
+            if _lcp(buf, q, p, want_len) >= max(want_len,
+                                                min_match_len_for_ro(ro)):
+                return True
+        return False
+
+    starts, kinds, lengths, qs, ros = [], [], [], [], []
+    p = PAD_FRONT
+    done_word = PAD_FRONT
+    while p < end:
+        while done_word <= p - 3:
+            u = done_word
+            words[h2[u]] = int(buf[u + 1]) | int(buf[u + 2]) << 8
+            done_word += 1
+        pred[p] = words[h2[p - 1]]
+        wordmatch = (int(buf[p]) | int(buf[p + 1]) << 8) == pred[p]
+
+        cap = min(FENCE - ((p - PAD_FRONT) % FENCE) if fence else 1 << 30,
+                  end - p)
+        blen, ro, q = find_best(p, cap)
+        is_m = blen >= LZ_MATCH_MIN_LEN
+        lazy1 = False
+        if is_m and blen < LAZY_LEN_CAP:
+            robitlen = int(ROID_ENC[ro, 1])
+            lazy_len1 = blen + 1 + (1 if robitlen < ROBITS_CHEAP else 0)
+            lazy1 = has_lazy(p + 1, lazy_len1, d1)
+            lazy2 = has_lazy(p + 2, lazy_len1 - int(wordmatch), d2)
+            if lazy1 or lazy2:
+                is_m = False
+        if is_m:
+            starts.append(p); kinds.append(2); lengths.append(blen)
+            qs.append(q); ros.append(ro)
+            adv = blen
+        elif (wordmatch and not lazy1 and p + 2 <= end
+              and (not fence or FENCE - ((p - PAD_FRONT) % FENCE) >= 2)):
+            starts.append(p); kinds.append(1); lengths.append(2)
+            qs.append(0); ros.append(0)
+            adv = 2
+        else:
+            starts.append(p); kinds.append(0); lengths.append(1)
+            qs.append(0); ros.append(0)
+            adv = 1
+
+        # ring insertion: the item's start, after its own lookup (exactly
+        # the decoder's order, decode_segment_ref rings_mode=1)
+        c = cctx[p]
+        rank_of[p] = ctx_count[c]
+        ctx_count[c] += 1
+        chains.setdefault(mkey[p], []).append(p)
+        p += adv
+
+    start = np.asarray(starts, dtype=np.int64)
+    kind = np.asarray(kinds, dtype=np.int64)
+    length = np.asarray(lengths, dtype=np.int64)
+    q_arr = np.asarray(qs, dtype=np.int64)
+    ro_arr = np.asarray(ros, dtype=np.int64)
+    _, _, rep0 = _rep0_flags(start, kind, q_arr)
+    items = _emit_items(cctx, pred, buf, len(data), start, kind, length,
+                        q_arr, ro_arr, rep0)
+    return _finish_segment_stream(enc, items, len(data), chunk_input, 1)
 
 
 def _encode_chunk_items(enc: BitEncoder, items: Items, coded: np.ndarray, sel: np.ndarray) -> None:

@@ -223,19 +223,19 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
 
     rank = context_ranks(ba, valid)
 
-    # parse-fence / segment-end cap on match lengths (cap BEFORE scoring)
-    cap = jnp.minimum(
-        FENCE - ((p - PAD_FRONT) & (FENCE - 1)), end - p
-    ).astype(jnp.int32)
-
-    # one sort carries every candidate operand into (mkey, pos) space
+    # one sort carries every candidate operand into (mkey, pos) space; the
+    # fence/end length cap is an elementwise function of the sorted
+    # positions, so it does not ride the sort as a payload
     mk = jnp.where(valid, ba.mkey, jnp.int32(0x7FFFFFFF))
     dws = [_shift_left(ba.dw, 4 * k).astype(jnp.int32) for k in range(N_DW)]
     sorted_all = lax.sort(
-        (mk, p, rank, cap) + tuple(dws), num_keys=2
+        (mk, p, rank) + tuple(dws), num_keys=2
     )
-    msk, msp, rank_s, cap_s = sorted_all[:4]
-    dw_s = [a.astype(jnp.uint32) for a in sorted_all[4:]]
+    msk, msp, rank_s = sorted_all[:3]
+    dw_s = [a.astype(jnp.uint32) for a in sorted_all[3:]]
+    cap_s = jnp.minimum(
+        FENCE - ((msp - PAD_FRONT) & (FENCE - 1)), end - msp
+    ).astype(jnp.int32)
 
     # Depth loop as a fori_loop whose carry holds 1-slot-per-round shifted
     # copies of the sorted arrays: shifting one more slot per round is a

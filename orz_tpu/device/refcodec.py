@@ -188,7 +188,7 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
         # and no item ever crosses a fence (ops/analyze.py mirrors this).
         cap = min(FENCE - ((p - PAD_FRONT) % FENCE), end - p)
         chain = chains.get(mkey[p])
-        best32, bro, blen, bq = 0, -1, 0, 0
+        best16, bro, blen, bq = 0, -1, 0, 0
         if chain:
             for q in chain[-1 : -depth - 1 : -1]:
                 if start_mask is not None:
@@ -201,15 +201,15 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
                     ro = rank[p] - 1 - rank[q]
                 if ro >= RING:
                     continue
-                l32 = min(_lcp(buf, q, p, 32), cap)
-                if l32 < min_match_len_for_ro(ro):
+                l16 = min(_lcp(buf, q, p, 16), cap)
+                if l16 < min_match_len_for_ro(ro):
                     continue  # far offsets must pay for their raw bits
-                if l32 > best32:
-                    best32, bro, bq = l32, ro, q
-                    if l32 >= 32:
+                if l16 > best16:
+                    best16, bro, bq = l16, ro, q
+                    if l16 >= 16:
                         blen = min(_lcp(buf, q, p, LZ_MATCH_MAX_LEN), cap)
                     else:
-                        blen = l32
+                        blen = l16
         if bro >= 0:
             if blen >= min_match_len_for_ro(bro):
                 bestlen[p] = blen
@@ -563,7 +563,9 @@ def encode_segment_seq2(data: bytes, level: int = 2,
                         lazy_depths: tuple | None = None,
                         fence: bool = True,
                         ro_cap: int = OTZ2_RO_CAP,
-                        lcp0: int = 32) -> bytes:
+                        lcp0: int = 16,
+                        rep0_search: bool = False,
+                        rep0_margin: int = 2) -> bytes:
     """Sequential OTZ2 encoder: TRUE item-start rings, built exactly the way
     the decoder replays them (insert each item's start after its own
     lookup), so the stream is rings_mode=1-decodable by construction — no
@@ -614,13 +616,13 @@ def encode_segment_seq2(data: bytes, level: int = 2,
             ro = my_count - 1 - rank_of[q]
             if ro >= ro_cap:
                 break  # ranks only grow down the chain
-            l32 = min(_lcp(buf, q, p, 32), cap)
+            l32 = min(_lcp(buf, q, p, lcp0), cap)
             if l32 < min_match_len_for_ro(ro):
                 continue
             if l32 > best32:
                 best32, bro, bq = l32, ro, q
                 blen = min(_lcp(buf, q, p, LZ_MATCH_MAX_LEN), cap) \
-                    if l32 >= 32 else l32
+                    if l32 >= lcp0 else l32
         if bq < 0 or blen < LZ_MATCH_MIN_LEN:
             return 0, 0, -1
         return blen, bro, bq
@@ -648,6 +650,7 @@ def encode_segment_seq2(data: bytes, level: int = 2,
     starts, kinds, lengths, qs, ros = [], [], [], [], []
     p = PAD_FRONT
     done_word = PAD_FRONT
+    last_dist = 0
     while p < end:
         while done_word <= p - 3:
             u = done_word
@@ -659,6 +662,13 @@ def encode_segment_seq2(data: bytes, level: int = 2,
         cap = min(FENCE - ((p - PAD_FRONT) % FENCE) if fence else 1 << 30,
                   end - p)
         blen, ro, q = find_best(p, cap)
+        # rep0-first (rep0_search knob): a match at the previous distance
+        # costs a bare symbol (no offset bits) and is exempt from the ring
+        # constraint, so prefer it unless the chain match is clearly longer
+        if rep0_search and last_dist > 0 and p - last_dist >= PAD_FRONT:
+            lr = min(_lcp(buf, p - last_dist, p, LZ_MATCH_MAX_LEN), cap)
+            if lr >= LZ_MATCH_MIN_LEN and lr + rep0_margin >= blen:
+                blen, ro, q = lr, 0, p - last_dist
         is_m = blen >= LZ_MATCH_MIN_LEN
         lazy1 = False
         if is_m and blen < LAZY_LEN_CAP:
@@ -671,6 +681,7 @@ def encode_segment_seq2(data: bytes, level: int = 2,
         if is_m:
             starts.append(p); kinds.append(2); lengths.append(blen)
             qs.append(q); ros.append(ro)
+            last_dist = p - q
             adv = blen
         elif (wordmatch and not lazy1 and p + 2 <= end
               and (not fence or FENCE - ((p - PAD_FRONT) % FENCE) >= 2)):

@@ -47,7 +47,10 @@ from orz_tpu.device.spec import (
     min_match_len_for_ro,
 )
 
-LCP0 = 32  # initial (sort-payload) LCP window in bytes
+LCP0 = 16  # initial (sort-payload) LCP window in bytes; measured on the
+# sequential oracle (encode_segment_seq2, 256 KiB): scoring candidates by
+# their 16-byte LCP instead of 32 is ratio-neutral (100.22% vs 100.24% of
+# orz) and halves the candidate sort's payload operands.
 N_DW = LCP0 // 4
 
 
@@ -233,65 +236,47 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     )
     msk, msp, rank_s = sorted_all[:3]
     dw_s = [a.astype(jnp.uint32) for a in sorted_all[3:]]
-    cap_s = jnp.minimum(
-        FENCE - ((msp - PAD_FRONT) & (FENCE - 1)), end - msp
+
+    # Depth loop: a Pallas kernel runs all `depth` shift-compare rounds over
+    # VMEM tiles, reading each sorted operand from HBM exactly once (the XLA
+    # fori_loop streamed every array once per round — ~50 ms at 4 MiB).
+    from orz_tpu.ops.match_pallas import match_depth_pallas
+
+    best_q_s, best_ro_s, best_len_s = match_depth_pallas(
+        msk, msp, rank_s, tuple(dw_s), end, depth
+    )
+
+    # back to position space (sort on stored position, no scatters); the
+    # fence/end cap is elementwise in position space
+    best_q, best_ro, lcp_best = _sort_back(
+        msp, (best_q_s, best_ro_s, best_len_s)
+    )
+    cap_back = jnp.minimum(
+        FENCE - ((p - PAD_FRONT) & (FENCE - 1)), end - p
     ).astype(jnp.int32)
 
-    # Depth loop as a fori_loop whose carry holds 1-slot-per-round shifted
-    # copies of the sorted arrays: shifting one more slot per round is a
-    # cheap static op, and the compiled graph stays ~depth-times smaller
-    # than a full unroll (the unrolled version compiled for many minutes
-    # through the remote-TPU tunnel).
-    def shift1(x, fill):
-        return jnp.concatenate([jnp.full(1, fill, x.dtype), x[:-1]])
-
-    def depth_body(j, st):
-        mskj, mspj, rankj, dwsj, best_score, best_q_s, best_ro_s, best_len_s = st
-        mskj = shift1(mskj, -1)
-        mspj = shift1(mspj, 0)
-        rankj = shift1(rankj, 0)
-        dwsj = tuple(shift1(d, 0) for d in dwsj)
-        same = mskj == msk
-        ro = rank_s - 1 - rankj
-        ok = same & (ro < RING)
-        xors = [dwsj[k] ^ dw_s[k] for k in range(N_DW)]
-        lcp32, _ = _lcp_dwords(xors)
-        lcp32 = jnp.minimum(lcp32, cap_s)  # fence/end cap before scoring
-        ok = ok & (lcp32 >= min_match_len_for_ro(ro))  # far-offset price gate
-        score = jnp.where(ok, lcp32 * 64 + (depth - j), -1)
-        better = score > best_score  # strict: ties keep the more recent j
-        best_score = jnp.maximum(best_score, score)
-        best_q_s = jnp.where(better, mspj, best_q_s)
-        best_ro_s = jnp.where(better, ro, best_ro_s)
-        best_len_s = jnp.where(better, lcp32, best_len_s)
-        return (mskj, mspj, rankj, dwsj, best_score, best_q_s, best_ro_s,
-                best_len_s)
-
-    st0 = (
-        msk, msp, rank_s, tuple(dw_s),
-        jnp.zeros(n, dtype=jnp.int32),
-        jnp.full(n, -1, jnp.int32),
-        jnp.zeros(n, dtype=jnp.int32),
-        jnp.zeros(n, dtype=jnp.int32),
-    )
-    _, _, _, _, best_score, best_q_s, best_ro_s, best_len_s = lax.fori_loop(
-        1, depth + 1, depth_body, st0
-    )
-
-    # back to position space (sort on stored position, no scatters)
-    best_q, best_ro, lcp_best, cap_back = _sort_back(
-        msp, (best_q_s, best_ro_s, best_len_s, cap_s)
-    )
-
-    # extend winners past the 32-byte window.  Only ~1-2% of positions have
-    # lcp == 32 and an unfenced continuation; they are COMPACTED to the
-    # front of a K-sized working set (one sort) and extended there — all
-    # tail gathers run at n/16 size instead of n.
+    # Extend winners past the LCP0-byte window, in two parts:
+    #
+    # 1. CHAIN STITCHING (elementwise, exact): if the kernel's winner at
+    #    p+16 is exactly q+16, then lcp(p, q) = 16 + lcp(p+16, q+16) — and
+    #    this holds under the fence/end caps too, because cap(p+16) =
+    #    cap(p) - 16 whenever cap(p) > 16.  Long matches' interior
+    #    positions almost always pick the shifted winner (identical
+    #    content, same recency), so full lengths propagate backwards
+    #    through 15 select-and-shift passes (LZ_MATCH_MAX_LEN/16) with no
+    #    gathers at all.
+    # 2. EXACT TAIL for chain TERMINALS only: positions whose window fully
+    #    matched but whose p+16 winner is some other candidate.  Those are
+    #    compacted and extended by real 16-byte gather compares (the
+    #    pre-stitching design ran this for every full-window position:
+    #    ~4-5% of n at LCP0=16, ~150 ms of gathers at 4 MiB; terminals are
+    #    several times rarer).
     cur = lcp_best
-    alive = (lcp_best >= LCP0) & (cap_back > LCP0) & (best_q >= 0)
+    full = (lcp_best >= LCP0) & (cap_back > LCP0) & (best_q >= 0)
+    link = full & (_shift_left(best_q, 16) == best_q + 16)
+    alive = full & ~link
 
-    k_a = max(1024, n // 16)
-    k_b = max(1024, n // 64)
+    k_a = max(1024, n // 32)
     _, alive_first = lax.sort(
         ((~alive).astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)), num_keys=2
     )
@@ -372,18 +357,12 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
         return lax.cond(n_alive <= n_fast * k_sub, fast, general,
                         cur, alive_out)
 
-    # Stage A: two rounds (32 -> 64 bytes) over the ~1-2% of positions whose
-    # 32-byte window fully matched.  Stage B: the remaining rounds run only
-    # over stage-A survivors (len >= 64, typically ~4x rarer), in 4x smaller
-    # chunks — the long-match tail no longer drags full-width gathers
-    # through up to 13 rounds.
-    alive64 = jnp.zeros(n, bool)
-    cur, alive64 = _stage(cur, alive, alive64, k_a, LCP0 // 16, LCP0 // 16 + 2)
-    # stage B iterates the alive32-ordered prefix, so its fast path spans
-    # 4 straight-line chunks (= stage A's coverage); all-dead chunks exit
-    # their round loop immediately
-    cur, _ = _stage(cur, alive64, None, k_b, LCP0 // 16 + 2,
-                    LZ_MATCH_MAX_LEN // 16, n_fast=4)
+    cur, _ = _stage(cur, alive, None, k_a, LCP0 // 16,
+                    LZ_MATCH_MAX_LEN // 16, n_fast=2)
+
+    # backward stitch: chains are at most LZ_MATCH_MAX_LEN/16 links long
+    for _ in range(LZ_MATCH_MAX_LEN // 16):
+        cur = jnp.where(link, 16 + _shift_left(cur, 16), cur)
 
     blen = jnp.minimum(cur, LZ_MATCH_MAX_LEN)
     has = (

@@ -1,0 +1,169 @@
+"""Pallas TPU kernel for the candidate depth loop of the match finder.
+
+ops/analyze.py sorts every position into (mkey, pos) order, where the j-th
+previous same-key candidate of a position sits exactly j slots earlier; the
+depth loop is then pure shift-compare-select arithmetic.  The XLA fori_loop
+version streamed every operand array through HBM once per round (~50 ms at
+4 MiB x depth 32 on v5e).  This kernel runs all `depth` rounds over a VMEM
+tile, so each operand is read from HBM exactly once:
+
+- A linear shift by j over the row-major (R, 128) tile is a lane rotation
+  by j plus, for the first j lanes of each row, the same rotation of the
+  row-above view (`xdown`).  `xdown` is built once per array per tile; each
+  round then costs two static rotations and a select.
+- The round loop is unrolled (depth is static and < 128), so every rotation
+  amount is a compile-time constant.
+- The tile halo is one extra row: the last row of the previous tile, padded
+  with the same fills the XLA loop used (key -1 = "no candidate", matching
+  the oracle's empty chains at the segment front).
+
+Oracle: the depth loop inside orz_tpu/device/refcodec.py analyze_ref
+(reference src/matcher.rs:135-192 is the sequential ancestor).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from orz_tpu.device.spec import FENCE, PAD_FRONT, RING, min_match_len_for_ro
+
+N_DW = 4  # dwords of LCP window carried through the sort (16 bytes)
+ROWS = 256  # tile rows; tile = (ROWS, 128) int32 per operand (128 KiB)
+LANES = 128
+
+
+def _lcp16(x0, x1, x2, x3):
+    """LCP in bytes over a 16-byte window from the four dword XORs (LE)."""
+
+    def partial_bytes(v):
+        b0 = (v & 0xFF) == 0
+        b1 = (v & 0xFFFF) == 0
+        b2 = (v & 0xFFFFFF) == 0
+        return b0.astype(jnp.int32) + (b0 & b1) + (b0 & b1 & b2)
+
+    e0, e1, e2 = x0 == 0, x1 == 0, x2 == 0
+    return jnp.where(
+        ~e0,
+        partial_bytes(x0),
+        jnp.where(
+            ~e1,
+            4 + partial_bytes(x1),
+            jnp.where(~e2, 8 + partial_bytes(x2),
+                      jnp.where(x3 != 0, 12 + partial_bytes(x3), 16)),
+        ),
+    )
+
+
+def _make_kernel(depth: int, n_arrays: int):
+    def kernel(*refs):
+        # refs: n_arrays block inputs, n_arrays halo rows, end scalar,
+        #       3 outputs (bq, bro, blen)
+        ins = refs[:n_arrays]
+        halos = refs[n_arrays : 2 * n_arrays]
+        end_ref = refs[2 * n_arrays]
+        bq_ref, bro_ref, blen_ref = refs[2 * n_arrays + 1 :]
+        end = end_ref[0, 0]
+
+        blk = pl.program_id(0)
+        fills = (-1, 0, 0) + (0,) * N_DW  # msk, msp, rank, dwords
+
+        cur = [r[:] for r in ins]
+        msk, msp, rank_s = cur[0], cur[1], cur[2]
+        dw_s = cur[3:]
+
+        # one-row-down views, seeded with the previous tile's last row (the
+        # XLA-loop fill values on the very first tile)
+        down = []
+        for r, h, f in zip(ins, halos, fills):
+            top = jnp.where(blk == 0, jnp.full((1, LANES), f, jnp.int32),
+                            h[7:8, :])  # halo block = previous tile's last 8 rows
+            down.append(jnp.concatenate([top, r[0 : ROWS - 1, :]], axis=0))
+
+        lane = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
+        cap = jnp.minimum(
+            FENCE - ((msp - PAD_FRONT) & (FENCE - 1)), end - msp
+        )
+
+        best_s = jnp.zeros((ROWS, LANES), jnp.int32)
+        best_q = jnp.full((ROWS, LANES), -1, jnp.int32)
+        best_ro = jnp.zeros((ROWS, LANES), jnp.int32)
+        best_len = jnp.zeros((ROWS, LANES), jnp.int32)
+
+        for j in range(1, depth + 1):  # static unroll: static roll amounts
+            sh = []
+            for a in range(n_arrays):
+                r_cur = pltpu.roll(cur[a], j, 1)
+                r_dwn = pltpu.roll(down[a], j, 1)
+                sh.append(jnp.where(lane < j, r_dwn, r_cur))
+            mskj, mspj, rankj = sh[0], sh[1], sh[2]
+            same = mskj == msk
+            ro = rank_s - 1 - rankj
+            ok = same & (ro < RING)
+            lcp = _lcp16(
+                sh[3] ^ dw_s[0], sh[4] ^ dw_s[1],
+                sh[5] ^ dw_s[2], sh[6] ^ dw_s[3],
+            )
+            lcp = jnp.minimum(lcp, cap)
+            ok = ok & (lcp >= min_match_len_for_ro(ro))
+            score = jnp.where(ok, lcp * 64 + (depth - j), -1)
+            better = score > best_s  # strict: ties keep the more recent j
+            best_s = jnp.maximum(best_s, score)
+            best_q = jnp.where(better, mspj, best_q)
+            best_ro = jnp.where(better, ro, best_ro)
+            best_len = jnp.where(better, lcp, best_len)
+
+        bq_ref[:] = best_q
+        bro_ref[:] = best_ro
+        blen_ref[:] = best_len
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def match_depth_pallas(msk, msp, rank_s, dw_s, end, depth: int):
+    """(best_q_s, best_ro_s, best_len_s) over the sorted arrays.
+
+    All inputs are n-length int32 in (mkey, pos)-sorted order; dw_s is a
+    tuple of N_DW dword arrays (byte windows riding the sort as payload).
+    Semantics match the XLA fori_loop they replace bit-for-bit.
+    """
+    n = msk.shape[0]
+    blk_elems = ROWS * LANES
+    n_blocks = -(-n // blk_elems)
+    n_pad = n_blocks * blk_elems
+
+    arrays = [msk, msp, rank_s] + [d.astype(jnp.int32) for d in dw_s]
+    n_arrays = len(arrays)
+    padded = []
+    for a, x in enumerate(arrays):
+        # tail pad never matches: key pad keeps the sentinel, rest zeros
+        fill = jnp.int32(0x7FFFFFFF) if a == 0 else jnp.int32(0)
+        padded.append(
+            jnp.concatenate([x, jnp.full(n_pad - n, fill, jnp.int32)])
+            .reshape(n_blocks * ROWS, LANES)
+        )
+
+    blk_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec(
+        (8, LANES), lambda i: (jnp.maximum(i * (ROWS // 8) - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        _make_kernel(depth, n_arrays),
+        interpret=jax.default_backend() != "tpu",
+        grid=(n_blocks,),
+        in_specs=[blk_spec] * n_arrays + [halo_spec] * n_arrays
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[blk_spec] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks * ROWS, LANES), jnp.int32)
+        ] * 3,
+    )(*padded, *padded, jnp.reshape(end, (1, 1)).astype(jnp.int32))
+    return tuple(o.reshape(-1)[:n] for o in out)

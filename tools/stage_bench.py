@@ -87,57 +87,30 @@ def main():
     stage("word_predictions", A.word_predictions, ba, buf, end)
     rank = stage("context_ranks", A.context_ranks, ba, valid)
 
-    # main candidate sort (12 operands, 2 keys)
-    capv = jnp.minimum(A.FENCE - ((p - PAD_FRONT) & (A.FENCE - 1)), end - p).astype(jnp.int32)
+    # main candidate sort (3 + N_DW operands, 2 keys)
     mk = jnp.where(valid, ba.mkey, jnp.int32(0x7FFFFFFF))
     dws = [A._shift_left(ba.dw, 4 * k).astype(jnp.int32) for k in range(A.N_DW)]
 
-    def main_sort(mk, p, rank, capv, *dws):
-        return lax.sort((mk, p, rank, capv) + tuple(dws), num_keys=2)
+    def main_sort(mk, p, rank, *dws):
+        return lax.sort((mk, p, rank) + tuple(dws), num_keys=2)
 
-    sorted_all = stage("candidate sort (12 ops)", main_sort, mk, p, rank, capv, *dws)
-    msk, msp, rank_s, cap_s = sorted_all[:4]
-    dw_s = [a.astype(jnp.uint32) for a in sorted_all[4:]]
+    sorted_all = stage(f"candidate sort ({3 + A.N_DW} ops)", main_sort,
+                       mk, p, rank, *dws)
+    msk, msp, rank_s = sorted_all[:3]
+    dw_s = [a.astype(jnp.uint32) for a in sorted_all[3:]]
 
-    # depth loop alone
-    def depth_only(msk, msp, rank_s, cap_s, *dw_s):
-        def shift1(x, fill):
-            return jnp.concatenate([jnp.full(1, fill, x.dtype), x[:-1]])
+    from orz_tpu.ops.match_pallas import match_depth_pallas
 
-        def body(j, st):
-            mskj, mspj, rankj, dwsj, bs, bq, bro, bl = st
-            mskj = shift1(mskj, -1)
-            mspj = shift1(mspj, 0)
-            rankj = shift1(rankj, 0)
-            dwsj = tuple(shift1(d, 0) for d in dwsj)
-            same = mskj == msk
-            ro = rank_s - 1 - rankj
-            ok = same & (ro < A.RING)
-            xors = [dwsj[k] ^ dw_s[k] for k in range(A.N_DW)]
-            lcp32, _ = A._lcp_dwords(xors)
-            lcp32 = jnp.minimum(lcp32, cap_s)
-            ok = ok & (lcp32 >= A.min_match_len_for_ro(ro))
-            score = jnp.where(ok, lcp32 * 64 + (depth - j), -1)
-            better = score > bs
-            bs = jnp.maximum(bs, score)
-            bq = jnp.where(better, mspj, bq)
-            bro = jnp.where(better, ro, bro)
-            bl = jnp.where(better, lcp32, bl)
-            return (mskj, mspj, rankj, dwsj, bs, bq, bro, bl)
+    def kern(msk, msp, rank_s, *dw_s):
+        return match_depth_pallas(msk, msp, rank_s, tuple(dw_s), end, depth)
 
-        st0 = (msk, msp, rank_s, tuple(dw_s), jnp.zeros(n, jnp.int32),
-               jnp.full(n, -1, jnp.int32), jnp.zeros(n, jnp.int32),
-               jnp.zeros(n, jnp.int32))
-        st = lax.fori_loop(1, depth + 1, body, st0)
-        return st[4], st[5], st[6], st[7]
+    bq_s, bro_s, bl_s = stage(f"match kernel ({depth})", kern,
+                              msk, msp, rank_s, *dw_s)
 
-    bs, bq_s, bro_s, bl_s = stage(f"depth fori ({depth})", depth_only,
-                                  msk, msp, rank_s, cap_s, *dw_s)
+    def back_sort(msp, a, b, c):
+        return lax.sort((msp, a, b, c), num_keys=1)
 
-    def back_sort(msp, a, b, c, d):
-        return lax.sort((msp, a, b, c, d), num_keys=1)
-
-    stage("sort back (5 ops)", back_sort, msp, bq_s, bro_s, bl_s, cap_s)
+    stage("sort back (4 ops)", back_sort, msp, bq_s, bro_s, bl_s)
 
     # full analyze for comparison + downstream inputs
     an_f = jax.jit(A.analyze, static_argnames=("depth",))

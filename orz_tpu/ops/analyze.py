@@ -357,8 +357,16 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
         return lax.cond(n_alive <= n_fast * k_sub, fast, general,
                         cur, alive_out)
 
-    cur, _ = _stage(cur, alive, None, k_a, LCP0 // 16,
-                    LZ_MATCH_MAX_LEN // 16, n_fast=2)
+    # Stage A: 2 rounds over the terminal set; stage B: the remaining
+    # rounds over the same compaction order in 4x smaller chunks, so the
+    # sparse long-match tail only keeps ITS chunk's gathers running (a
+    # single k_a-wide loop pays ~8 gathers x k_a per round until the very
+    # longest survivor dies).
+    aliveB = jnp.zeros(n, bool)
+    cur, aliveB = _stage(cur, alive, aliveB, k_a, LCP0 // 16, LCP0 // 16 + 2,
+                         n_fast=2)
+    cur, _ = _stage(cur, aliveB, None, max(1024, k_a // 4),
+                    LCP0 // 16 + 2, LZ_MATCH_MAX_LEN // 16, n_fast=8)
 
     # backward stitch: chains are at most LZ_MATCH_MAX_LEN/16 links long
     for _ in range(LZ_MATCH_MAX_LEN // 16):

@@ -1,0 +1,185 @@
+"""Optimal (price-based) parse over fence blocks — ratio prototype.
+
+The parse fence means no item crosses a fence line, so in the shortest-path
+formulation every path from position p exits its block through the block
+boundary: cost(p) = local_cost(p) + cost(boundary).  Blocks are therefore
+INDEPENDENT and the optimal parse vectorizes exactly like walk_items — a
+per-block backward DP in lockstep (the device version), here sequential.
+
+Prices come from a first pass (heuristic lazy parse -> real coded stream ->
+per-symbol average bit costs), the standard two-pass approximation for
+adaptive coders.  Measured against orz -l2 and the lazy parse on the same
+OTZ1 analysis.
+
+    python tools/optparse_sim.py [kb] [level]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+from bench import make_corpus
+import orz_tpu.device.refcodec as rc
+from orz_tpu.device.spec import (
+    LZ_LENID_SIZE,
+    LZ_MATCH_MIN_LEN,
+    PAD_FRONT,
+    REP0_BASE,
+    ROID_ENC,
+    SYMRANK_NUM_SYMBOLS,
+    WORD_SYMBOL,
+    candidate_depth,
+)
+from orz_tpu.golden.bitio import BitEncoder
+
+
+def stream_prices(items, coded):
+    """Per-symbol average coded bits from a real pass-1 stream (split by the
+    after_literal table), plus extC extension prices."""
+    bitsA = np.full(SYMRANK_NUM_SYMBOLS, 13.0)
+    bitsB = np.full(SYMRANK_NUM_SYMBOLS, 13.0)
+    for al, tab in ((1, bitsA), (0, bitsB)):
+        sel = items.after_literal == al
+        cs = coded[sel]
+        if not len(cs):
+            continue
+        cnt = np.bincount(cs, minlength=SYMRANK_NUM_SYMBOLS).astype(np.float64)
+        tot = cnt.sum()
+        nz = cnt > 0
+        ideal = -np.log2(cnt[nz] / tot)
+        # map coded-rank prices back to SYMBOL space by average: a symbol's
+        # price is the average coded length it actually got in pass 1
+        sym_bits = np.zeros(SYMRANK_NUM_SYMBOLS)
+        sym_cnt = np.zeros(SYMRANK_NUM_SYMBOLS)
+        rank_price = np.full(SYMRANK_NUM_SYMBOLS, 13.0)
+        rank_price[nz] = np.minimum(ideal, 15.0)
+        for i in np.nonzero(sel)[0]:
+            s = int(items.symbol[i])
+            sym_bits[s] += rank_price[int(coded[i])]
+            sym_cnt[s] += 1
+        have = sym_cnt > 0
+        tab[have] = sym_bits[have] / sym_cnt[have]
+    ext = items.eml[(items.kind == 2) & (items.eml >= LZ_LENID_SIZE - 1)]
+    if len(ext):
+        cnt = np.bincount(ext, minlength=256).astype(np.float64)
+        nz = cnt > 0
+        extp = np.full(256, 10.0)
+        extp[nz] = np.minimum(-np.log2(cnt[nz] / cnt.sum()), 15.0)
+    else:
+        extp = np.full(256, 10.0)
+    return bitsA, bitsB, extp
+
+
+def optimal_parse(an, buf, seg_len, prices, fence):
+    """Backward DP per fence block; edges: literal, word, full-length match.
+    Returns (start, kind, length) in stream order."""
+    bitsA, bitsB, extp = prices
+    end = PAD_FRONT + seg_len
+    n = len(buf)
+    # price arrays per position (after_literal unknown during DP: use the
+    # cheaper of the two tables as the estimate)
+    lit_p = np.minimum(bitsA[buf.astype(np.int64)],
+                       bitsB[buf.astype(np.int64)] + 0.5)
+    word_p = min(bitsA[WORD_SYMBOL], bitsB[WORD_SYMBOL])
+    roid = ROID_ENC[np.minimum(an.bestro, len(ROID_ENC) - 1), 0]
+    robl = ROID_ENC[np.minimum(an.bestro, len(ROID_ENC) - 1), 1]
+    eml = np.maximum(an.bestlen - LZ_MATCH_MIN_LEN, 0)
+    lenid = np.minimum(eml, LZ_LENID_SIZE - 1)
+    msym = 256 + roid * LZ_LENID_SIZE + lenid
+    msym_p = np.minimum(bitsA[np.minimum(msym, SYMRANK_NUM_SYMBOLS - 1)],
+                        bitsB[np.minimum(msym, SYMRANK_NUM_SYMBOLS - 1)])
+    match_p = msym_p + robl + np.where(eml >= LZ_LENID_SIZE - 1,
+                                       extp[np.minimum(eml, 255)], 0.0)
+
+    cost = np.zeros(n + 1, dtype=np.float64)
+    choice = np.zeros(n, dtype=np.int64)  # 0 lit, 1 word, 2 match
+    # backward over positions; block independence means this could run per
+    # block in lockstep on device — here just one backward sweep
+    for p in range(end - 1, PAD_FRONT - 1, -1):
+        c = lit_p[p] + cost[p + 1]
+        ch = 0
+        room = fence - ((p - PAD_FRONT) % fence)
+        if an.wordmatch[p] and p + 2 <= end and room >= 2:
+            cw = word_p + cost[p + 2]
+            if cw < c:
+                c, ch = cw, 1
+        L = int(an.bestlen[p])
+        if L >= LZ_MATCH_MIN_LEN:
+            cm = match_p[p] + cost[p + L]
+            if cm < c:
+                c, ch = cm, 2
+        cost[p] = c
+        choice[p] = ch
+
+    starts, kinds, lengths = [], [], []
+    p = PAD_FRONT
+    while p < end:
+        ch = choice[p]
+        if ch == 2:
+            starts.append(p); kinds.append(2); lengths.append(int(an.bestlen[p]))
+            p += int(an.bestlen[p])
+        elif ch == 1:
+            starts.append(p); kinds.append(1); lengths.append(2)
+            p += 2
+        else:
+            starts.append(p); kinds.append(0); lengths.append(1)
+            p += 1
+    return (np.asarray(starts, dtype=np.int64), np.asarray(kinds, dtype=np.int64),
+            np.asarray(lengths, dtype=np.int64))
+
+
+def encode_with_walk(an, buf, seg_len, walk, chunk_input=rc.CHUNK_INPUT_DEFAULT):
+    items = rc.parse_ref(an, buf, seg_len, walk=walk)
+    enc = BitEncoder()
+    enc.encode_varint(seg_len)
+    enc.encode_varint(chunk_input)
+    return rc._finish_segment_stream(enc, items, seg_len, chunk_input, 0)
+
+
+def main():
+    kb = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    level = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    data = make_corpus(kb * 1024)
+    n = len(data)
+    rc.FENCE = 4096
+    buf = rc.pad_segment(data)
+    t0 = time.time()
+    an = rc.analyze_ref(buf, n, candidate_depth(level))
+    print(f"analysis [{time.time()-t0:.0f}s]", flush=True)
+
+    # pass 1: heuristic lazy parse (today's device behavior at F4096)
+    walk1 = rc.parse_walk(an, buf, n)
+    s1 = encode_with_walk(an, buf, n, walk1)
+    print(f"lazy parse:    {len(s1)} B ({len(s1)/n*100:.2f}%) "
+          f"vs orz {len(s1)/73376*100:.2f}%", flush=True)
+
+    items1 = rc.parse_ref(an, buf, n, walk=walk1)
+    from orz_tpu.device.refcodec import census_ref, symrank_ref
+    _, _, perm = census_ref(items1.symbol[
+        (items1.start - PAD_FRONT) // rc.CHUNK_INPUT_DEFAULT == 0])
+    coded1 = symrank_ref(items1, perm)
+    prices = stream_prices(items1, coded1)
+
+    t0 = time.time()
+    walk2 = optimal_parse(an, buf, n, prices, rc.FENCE)
+    s2 = encode_with_walk(an, buf, n, walk2)
+    ok = rc.decode_segment_ref(s2) == data
+    print(f"optimal parse: {len(s2)} B ({len(s2)/n*100:.2f}%) "
+          f"vs orz {len(s2)/73376*100:.2f}% rt={ok} [{time.time()-t0:.0f}s]",
+          flush=True)
+
+    # second pricing iteration (prices from the optimal parse itself)
+    items2 = rc.parse_ref(an, buf, n, walk=walk2)
+    _, _, perm2 = census_ref(items2.symbol[
+        (items2.start - PAD_FRONT) // rc.CHUNK_INPUT_DEFAULT == 0])
+    coded2 = symrank_ref(items2, perm2)
+    walk3 = optimal_parse(an, buf, n, stream_prices(items2, coded2), rc.FENCE)
+    s3 = encode_with_walk(an, buf, n, walk3)
+    print(f"optimal x2:    {len(s3)} B ({len(s3)/n*100:.2f}%) "
+          f"vs orz {len(s3)/73376*100:.2f}%", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,16 +120,40 @@ def host_conform(buf, seg_len, cctx, start, kind, length, q_arr, window=96):
 
 
 def encode_fixpoint(data: bytes, iters: int, depth0=32, window=96,
-                    chunk_input=rc.CHUNK_INPUT_DEFAULT, verbose=True):
+                    chunk_input=rc.CHUNK_INPUT_DEFAULT, verbose=True,
+                    opt_parse=False):
+    """opt_parse: use the price-based fence-block DP (tools/optparse_sim)
+    instead of the lazy heuristic for every parse, with prices refreshed
+    from the previous iteration's items."""
     buf = rc.pad_segment(data)
     n = len(data)
+
+    def parse(an, prices):
+        if prices is None:
+            return rc.parse_walk(an, buf, n)
+        from tools.optparse_sim import optimal_parse
+        return optimal_parse(an, buf, n, prices, rc.FENCE)
+
+    def prices_of(an, walk):
+        if not opt_parse:
+            return None
+        from tools.optparse_sim import stream_prices
+        items = rc.parse_ref(an, buf, n, walk=walk)
+        _, _, perm = rc.census_ref(items.symbol[
+            (items.start - PAD_FRONT) // chunk_input == 0])
+        coded = rc.symrank_ref(items, perm)
+        return stream_prices(items, coded)
+
     an = rc.analyze_ref(buf, n, depth0)
     walk = rc.parse_walk(an, buf, n)
+    prices = prices_of(an, walk)
     for k in range(iters):
         mask = np.zeros(len(buf), dtype=bool)
         mask[walk[0]] = True
         an = rc.analyze_ref(buf, n, window, start_mask=mask)
-        walk = rc.parse_walk(an, buf, n)
+        walk = parse(an, prices)
+        if opt_parse and k == iters - 2:
+            prices = prices_of(an, walk)
     start, kind, length = walk
     q_arr = np.where(kind == 2, an.bestq[start], 0)
     n_viol0 = None

@@ -29,7 +29,7 @@ constexpr int WORD_SYMBOL = 430;
 constexpr int REP0_BASE = 424;  // 424..429: rep0 match, lenid 0..5
 constexpr int LENID_SIZE = 6;
 constexpr int MATCH_MIN_LEN = 4;
-constexpr int FENCE = 512;  // parse fence (device/spec.py): caps len_min
+constexpr int FENCE = 4096;  // parse fence (device/spec.py): caps len_min
 constexpr int MATCH_MAX_LEN = 240;
 constexpr int WORD_TABLE_SIZE = 1 << 15;
 constexpr int NCTX_SR = 512;

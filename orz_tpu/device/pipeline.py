@@ -94,20 +94,25 @@ def encode_segment_jit(
 def _entropy_stage(items, coded, valid, chunk_id, num_counted, census_order,
                    chunk_input: int, c_max: int) -> SegmentOut:
     """Per-chunk Huffman weights + package-merge + canonical codes + packing."""
-    # flat 1d scatter indices (2d-index scatters lower via a slow path)
-    rowA = jnp.where(valid & (items.after_literal == 1), chunk_id, c_max)
-    rowB = jnp.where(valid & (items.after_literal == 0), chunk_id, c_max)
+    # flat 1d scatter indices (2d-index scatters lower via a slow path).
+    # A and B are disjoint per item (after_literal selects the table), so
+    # one scatter fills both; C (match length extension) is its own.
+    rowAB = jnp.where(
+        valid,
+        jnp.where(items.after_literal == 1, chunk_id, c_max + chunk_id),
+        2 * c_max,
+    )
     has_ext = valid & (items.kind == 2) & (items.eml >= LZ_LENID_SIZE - 1)
     rowC = jnp.where(has_ext, chunk_id, c_max)
     codedc = jnp.clip(coded, 0, N_SYM - 1)
     emlc = jnp.clip(items.eml, 0, N_SYM - 1)
-    wtab = (c_max + 1) * N_SYM
-    wA = jnp.zeros(wtab, jnp.int32).at[rowA * N_SYM + codedc].add(1).reshape(
-        c_max + 1, N_SYM)[:c_max]
-    wB = jnp.zeros(wtab, jnp.int32).at[rowB * N_SYM + codedc].add(1).reshape(
-        c_max + 1, N_SYM)[:c_max]
-    wC = jnp.zeros(wtab, jnp.int32).at[rowC * N_SYM + emlc].add(1).reshape(
-        c_max + 1, N_SYM)[:c_max]
+    wAB = jnp.zeros((2 * c_max + 1) * N_SYM, jnp.int32).at[
+        rowAB * N_SYM + codedc
+    ].add(1).reshape(2 * c_max + 1, N_SYM)
+    wA, wB = wAB[:c_max], wAB[c_max : 2 * c_max]
+    wC = jnp.zeros((c_max + 1) * N_SYM, jnp.int32).at[
+        rowC * N_SYM + emlc
+    ].add(1).reshape(c_max + 1, N_SYM)[:c_max]
 
     all_w = jnp.concatenate([wA, wB, wC], axis=0)
     all_lens = jax.vmap(pm_code_lens)(all_w)

@@ -67,7 +67,11 @@ ROID_GROUP_BITS = 1  # log2(OTZ_ROID_GROUP)
 # format ONLY through the length-prediction floor: len_min is capped by the
 # fence room at the consuming position, so decoders apply the same cap
 # (refcodec decode / csrc/otz_core.cpp).
-FENCE = 512
+# 4096 (was 512): with LZ_MATCH_MAX_LEN = 240 a fence truncates only
+# matches starting in its last 240 bytes; measured on the sequential
+# oracle, 512 -> 4096 recovers 0.71 pt of ratio vs orz (100.95 -> 100.24%)
+# and 4096 -> no fence would recover just 0.09 pt more.
+FENCE = 4096
 
 # --- OTZ2: item-start rings (docs/OTZ2_DESIGN.md) --------------------------
 # rings_mode segment-header bit: 0 = every position enters its context ring

@@ -6,7 +6,7 @@ position's decision ("IF an item started here, what would it be?") is a pure
 function of phase-1 arrays, so the item sequence is the orbit of
 next(p) = p + len(p) from the segment start.
 
-v2: matches never cross a parse FENCE (a fixed 512-byte grid; enforced by
+v2: matches never cross a parse FENCE (a fixed spec.FENCE grid; enforced by
 the fence cap in ops/analyze.py), so every fence line is an item start and
 the orbit decomposes into ~n/FENCE independent per-block walks that run in
 lockstep as one batched-gather loop — no pointer-doubling jump tables (each
@@ -107,13 +107,20 @@ def decisions(an: Analysis, seg_len: jnp.ndarray, n: int) -> Decisions:
     return Decisions(kind, length, nxt)
 
 
+WALK_CHUNK = 256  # scan steps per straight-line chunk
+
+
 def walk_items(dec: Decisions, seg_len: jnp.ndarray, n: int):
     """Fence-block item walk: item start positions in stream order.
 
     Every fence line is an item start (no item crosses a fence), so block k
     walks nxt() from PAD_FRONT + k*FENCE until it leaves the block; the
-    blocks advance in lockstep (one n_blocks-sized gather per step) with
-    early exit once every block is done.
+    blocks advance in lockstep (one n_blocks-sized gather per step).  The
+    step loop runs as FENCE/WALK_CHUNK separate lax.scan calls, each
+    skippable once every block is done: scan stacks the per-step records as
+    OUTPUTS, so nothing large rides a loop carry (a while_loop carrying the
+    (n_blocks, FENCE) record was bracketed by XLA with a memory-space copy
+    of the record on every iteration).
 
     Returns (starts, n_items): starts is (m,) int32, the item start
     positions sorted in stream order with the tail filled with `end`.
@@ -124,26 +131,29 @@ def walk_items(dec: Decisions, seg_len: jnp.ndarray, n: int):
     base = PAD_FRONT + FENCE * jnp.arange(n_blocks, dtype=jnp.int32)
     blk_end = jnp.minimum(base + FENCE, end)
 
-    def cond(carry):
-        t, cur, rec = carry
-        return (t < FENCE) & jnp.any(cur < blk_end)
-
-    def body(carry):
-        t, cur, rec = carry
+    def step(cur, _):
         active = cur < blk_end
-        rec = lax.dynamic_update_slice(
-            rec, jnp.where(active, cur, end)[:, None], (0, t)
-        )
+        rec_t = jnp.where(active, cur, end)
         nxt = dec.nxt[jnp.clip(cur, 0, n - 1)]
-        cur = jnp.where(active, nxt, cur)
-        return t + 1, cur, rec
+        return jnp.where(active, nxt, cur), rec_t
 
-    rec0 = jnp.full((n_blocks, FENCE), end, jnp.int32)
-    _, _, rec = lax.while_loop(cond, body, (jnp.int32(0), base, rec0))
+    def run_chunk(cur):
+        return lax.scan(step, cur, None, length=WALK_CHUNK)
+
+    def skip_chunk(cur):
+        return cur, jnp.full((WALK_CHUNK, n_blocks), end, jnp.int32)
+
+    cur = base
+    recs = []
+    for _ in range(FENCE // WALK_CHUNK):
+        cur, rec = lax.cond(jnp.any(cur < blk_end), run_chunk, skip_chunk,
+                            cur)
+        recs.append(rec)
+    rec = jnp.concatenate(recs, axis=0)  # (FENCE, n_blocks), step-major
 
     # compact to stream order: one sort by (position, .) — items of block k
     # all precede block k+1's and are recorded in increasing order
-    flat = rec.reshape(-1)
+    flat = rec.T.reshape(-1)
     starts = lax.sort(flat)
     n_items = (starts < end).sum().astype(jnp.int32)
     if flat.shape[0] >= m:

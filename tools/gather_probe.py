@@ -35,8 +35,9 @@ BLK = 2048  # output items per grid step
 WIN = 4 * BLK  # source window per block (indices must fit; else fallback)
 
 
-def _wgather_kernel(idx_ref, base_ref, src_ref, out_ref, win, sem):
-    row0 = base_ref[0, 0] // 128
+def _wgather_kernel(base_ref, idx_ref, src_ref, out_ref, win, sem):
+    blk = pl.program_id(0)
+    row0 = base_ref[blk] // 128
     dma = pltpu.make_async_copy(
         src_ref.at[pl.ds(row0, WIN // 128), :], win, sem
     )
@@ -55,26 +56,28 @@ def windowed_gather(src, idx, base):
     m = idx.shape[0]
     n_blocks = m // BLK
     idx2 = idx.reshape(n_blocks * (BLK // 128), 128)
-    return pl.pallas_call(
-        _wgather_kernel,
-        interpret=jax.default_backend() != "tpu",
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((BLK // 128, 128), lambda i: (i, 0),
+            pl.BlockSpec((BLK // 128, 128), lambda i, b: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((BLK // 128, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((BLK // 128, 128), lambda i, b: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_blocks * (BLK // 128), 128),
-                                       jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((WIN // 128, 128), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
-    )(idx2, base.reshape(-1, 1), src.reshape(-1, 128)).reshape(m)
+    )
+    return pl.pallas_call(
+        _wgather_kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks * (BLK // 128), 128),
+                                       jnp.int32),
+    )(base, idx2, src.reshape(-1, 128)).reshape(m)
 
 
 def main():

@@ -72,9 +72,18 @@ def stream_prices(items, coded):
     return bitsA, bitsB, extp
 
 
-def optimal_parse(an, buf, seg_len, prices, fence):
+TAPS = list(range(1, 17)) + [20, 24, 32, 48, 64, 96, 128, 192, 256]
+
+
+def optimal_parse(an, buf, seg_len, prices, fence, taps=False):
     """Backward DP per fence block; edges: literal, word, full-length match.
-    Returns (start, kind, length) in stream order."""
+    Returns (start, kind, length) in stream order.
+
+    taps=True evaluates the match edge the way the device kernel will: the
+    cost array is only read at scalar offsets TAPS (lane-uniform rows); a
+    length between taps uses the next tap upward with an exact
+    literal-cost-sum correction for the gap (an upper bound on the true
+    cost — exact whenever the optimal path covers the gap with literals)."""
     bitsA, bitsB, extp = prices
     end = PAD_FRONT + seg_len
     n = len(buf)

@@ -31,6 +31,8 @@ constexpr int LENID_SIZE = 6;
 constexpr int MATCH_MIN_LEN = 4;
 constexpr int FENCE = 4096;  // parse fence (device/spec.py): caps len_min
 constexpr int MATCH_MAX_LEN = 240;
+constexpr int TABC_SIZE = 256;  // table C: 240 lengths + 16 negative-band slots
+constexpr int NEG_EML_BASE = 240;  // eml >= this: length below len_min (spec.py)
 constexpr int WORD_TABLE_SIZE = 1 << 15;
 constexpr int NCTX_SR = 512;
 
@@ -292,7 +294,7 @@ struct Decoder {
       HuffDec tabA, tabB, tabC;
       if (!tabA.build(bd, N_SYM)) return -4;
       if (!tabB.build(bd, N_SYM)) return -4;
-      if (!tabC.build(bd, MATCH_MAX_LEN)) return -4;
+      if (!tabC.build(bd, TABC_SIZE)) return -4;
 
       for (int64_t it = 0; it < n_items; it++) {
         if (p >= end || bd.fail) return -5;
@@ -357,7 +359,8 @@ struct Decoder {
             if (lm > room) lm = room;
             int ex = expected_arr[q];
             if (ex < MATCH_MIN_LEN) ex = MATCH_MIN_LEN;
-            if (eml + lm > ex) match_len = eml + lm;
+            if (eml >= NEG_EML_BASE) match_len = lm - 1 - (eml - NEG_EML_BASE);
+            else if (eml + lm > ex) match_len = eml + lm;
             else if (eml > 0) match_len = eml + lm - 1;
             else match_len = ex;
             if (match_len < MATCH_MIN_LEN || match_len > MATCH_MAX_LEN) return -13;

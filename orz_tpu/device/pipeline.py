@@ -22,6 +22,7 @@ import numpy as np
 
 from orz_tpu.device.spec import (
     CHUNK_INPUT_DEFAULT,
+    TABC_SIZE,
     LZ_LENID_SIZE,
     LZ_MATCH_MAX_LEN,
     PAD_FRONT,
@@ -397,7 +398,7 @@ def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input
         enc.encode_varint(int(chunk_items[k]))
         enc.encode_huffman_table(lensA[k].tolist())
         enc.encode_huffman_table(lensB[k].tolist())
-        enc.encode_huffman_table(lensC[k, :LZ_MATCH_MAX_LEN].tolist())
+        enc.encode_huffman_table(lensC[k, :TABC_SIZE].tolist())
         nw = (int(bitlen[k]) + 31) // 32
         base = int(word_base[k])
         enc.append_bits_bulk(words[base : base + nw], int(bitlen[k]))

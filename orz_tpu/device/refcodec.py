@@ -84,8 +84,11 @@ from orz_tpu.device.spec import (
     LZ_LENID_SIZE,
     LZ_MATCH_MAX_LEN,
     LZ_MATCH_MIN_LEN,
+    NEG_EML_BASE,
+    NEG_EML_DEPTH,
     NUM_CONTEXTS,
     OTZ2_RO_CAP,
+    TABC_SIZE,
     PAD_FRONT,
     PAD_TAIL,
     RING,
@@ -444,10 +447,12 @@ def _emit_items(cctx_arr, pred_arr, buf, seg_len, start, kind, length, q_arr,
         lm = min(max(len_min_arr[q], LZ_MATCH_MIN_LEN), room)
         ex = max(expected_arr[q], LZ_MATCH_MIN_LEN)
         L = length[i]
-        if L < lm:  # invariant miss (see docs/OTZ2_DESIGN.md): disable
-            pred_ok = False  # prediction for the segment via the header bit
-            break
-        if L > ex:
+        if L < lm:  # below the floor: the negative band (spec.NEG_EML_BASE)
+            if lm - L > NEG_EML_DEPTH:  # beyond its reach (vanishingly
+                pred_ok = False  # rare): header bit disables prediction
+                break
+            e = NEG_EML_BASE + (lm - 1 - L)
+        elif L > ex:
             e = L - lm
         elif L < ex:
             e = L - lm + 1
@@ -723,7 +728,7 @@ def _encode_chunk_items(enc: BitEncoder, items: Items, coded: np.ndarray, sel: n
     wA = np.bincount(cs[al == 1], minlength=SYMRANK_NUM_SYMBOLS)
     wB = np.bincount(cs[al == 0], minlength=SYMRANK_NUM_SYMBOLS)
     wC = np.bincount(
-        eml[(kind == 2) & (eml >= LZ_LENID_SIZE - 1)], minlength=LZ_MATCH_MAX_LEN
+        eml[(kind == 2) & (eml >= LZ_LENID_SIZE - 1)], minlength=TABC_SIZE
     )
     lensA = pm_code_lens(wA)
     lensB = pm_code_lens(wB)
@@ -804,7 +809,7 @@ def decode_segment_ref(payload: bytes) -> bytes:
     for _ in range(n_chunks):
         n_items = dec.decode_varint()
         tabs = []
-        for nsym in (SYMRANK_NUM_SYMBOLS, SYMRANK_NUM_SYMBOLS, LZ_MATCH_MAX_LEN):
+        for nsym in (SYMRANK_NUM_SYMBOLS, SYMRANK_NUM_SYMBOLS, TABC_SIZE):
             code_lens, max_len = dec.decode_huffman_table()
             if len(code_lens) > nsym:
                 raise OTZFormatError("oversized huffman table")
@@ -877,7 +882,9 @@ def decode_segment_ref(payload: bytes) -> bytes:
                     room = min(FENCE - ((p - PAD_FRONT) % FENCE), end - p)
                     lm = min(max(int(len_min_arr[q]), LZ_MATCH_MIN_LEN), room)
                     ex = max(int(expected_arr[q]), LZ_MATCH_MIN_LEN)
-                    if eml + lm > ex:
+                    if eml >= NEG_EML_BASE:  # negative band: below len_min
+                        match_len = lm - 1 - (eml - NEG_EML_BASE)
+                    elif eml + lm > ex:
                         match_len = eml + lm
                     elif eml > 0:
                         match_len = eml + lm - 1

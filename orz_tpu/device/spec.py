@@ -54,6 +54,17 @@ OTZ_ROID_SIZE = len(ROID_DEC)  # 28
 REP0_BASE = 256 + OTZ_ROID_SIZE * LZ_LENID_SIZE  # 424..429: rep0 lenids
 SYMRANK_NUM_SYMBOLS = REP0_BASE + LZ_LENID_SIZE + 1  # 431
 WORD_SYMBOL = SYMRANK_NUM_SYMBOLS - 1  # 430
+
+# Match-length-extension table C: eml values 0..239 code lengths at or
+# above the len_min floor (the reference's scheme); the NEGATIVE BAND
+# 240..255 codes lengths BELOW it: eml = 240 + (len_min - 1 - L), reaching
+# 16 under.  Without it, any parse emitting a match shorter than a
+# previous match against the same target (a sequential-search invariant
+# the parallel parse and truncating DP edges cannot uphold) forced length
+# prediction off for the whole segment (~3.5 pt of ratio).
+TABC_SIZE = LZ_MATCH_MAX_LEN + 16  # 256
+NEG_EML_BASE = LZ_MATCH_MAX_LEN  # 240
+NEG_EML_DEPTH = 16
 CHUNK_INPUT_DEFAULT = 1 << 21  # input bytes per entropy chunk (own tables)
 
 # ids per extra-bit level in the extended schedule, as a shift: roid =

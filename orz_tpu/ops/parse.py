@@ -32,6 +32,8 @@ from orz_tpu.device.spec import (
     LAZY_LEN_CAP,
     LZ_LENID_SIZE,
     LZ_MATCH_MIN_LEN,
+    NEG_EML_BASE,
+    NEG_EML_DEPTH,
     PAD_FRONT,
     REP0_BASE,
     ROBITS_CHEAP,
@@ -267,9 +269,14 @@ def build_items(
     )
     ex = jnp.maximum(expected_q, LZ_MATCH_MIN_LEN)
     e_pred = jnp.where(
-        length > ex, length - lm, jnp.where(length < ex, length - lm + 1, 0)
+        length < lm,  # below the floor: negative band (spec.NEG_EML_BASE)
+        NEG_EML_BASE + (lm - 1 - length),
+        jnp.where(
+            length > ex, length - lm,
+            jnp.where(length < ex, length - lm + 1, 0)
+        ),
     )
-    pred_ok = ~jnp.any(is_match & (length < lm))
+    pred_ok = ~jnp.any(is_match & (lm - length > NEG_EML_DEPTH))
     eml_raw = jnp.where(kind == 2, length - LZ_MATCH_MIN_LEN, 0)
     eml = jnp.where(is_match & pred_ok, e_pred, eml_raw)
     lenid = jnp.minimum(eml, LZ_LENID_SIZE - 1)

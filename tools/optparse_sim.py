@@ -72,18 +72,18 @@ def stream_prices(items, coded):
     return bitsA, bitsB, extp
 
 
-TAPS = list(range(1, 17)) + [20, 24, 32, 48, 64, 96, 128, 192, 256]
+# Match-edge lengths the device DP considers (cost-array rows are read at
+# scalar, lane-uniform offsets only): every length up to 16, then a coarse
+# ladder.  A longer best-match is offered TRUNCATED to each ladder length
+# below it — truncation is always legal, so the DP stays exact over a
+# restricted edge set (the remainder is re-matched from the cut point).
+TAPS_LONG = [20, 24, 28, 32, 40, 48, 64, 96, 128, 192, 240]
 
 
 def optimal_parse(an, buf, seg_len, prices, fence, taps=False):
-    """Backward DP per fence block; edges: literal, word, full-length match.
-    Returns (start, kind, length) in stream order.
-
-    taps=True evaluates the match edge the way the device kernel will: the
-    cost array is only read at scalar offsets TAPS (lane-uniform rows); a
-    length between taps uses the next tap upward with an exact
-    literal-cost-sum correction for the gap (an upper bound on the true
-    cost — exact whenever the optimal path covers the gap with literals)."""
+    """Backward DP per fence block; edges: literal, word, match (full
+    length, or tap-truncated when taps=True — the device kernel's edge
+    set).  Returns (start, kind, length) in stream order."""
     bitsA, bitsB, extp = prices
     end = PAD_FRONT + seg_len
     n = len(buf)
@@ -94,16 +94,18 @@ def optimal_parse(an, buf, seg_len, prices, fence, taps=False):
     word_p = min(bitsA[WORD_SYMBOL], bitsB[WORD_SYMBOL])
     roid = ROID_ENC[np.minimum(an.bestro, len(ROID_ENC) - 1), 0]
     robl = ROID_ENC[np.minimum(an.bestro, len(ROID_ENC) - 1), 1]
-    eml = np.maximum(an.bestlen - LZ_MATCH_MIN_LEN, 0)
-    lenid = np.minimum(eml, LZ_LENID_SIZE - 1)
-    msym = 256 + roid * LZ_LENID_SIZE + lenid
-    msym_p = np.minimum(bitsA[np.minimum(msym, SYMRANK_NUM_SYMBOLS - 1)],
-                        bitsB[np.minimum(msym, SYMRANK_NUM_SYMBOLS - 1)])
-    match_p = msym_p + robl + np.where(eml >= LZ_LENID_SIZE - 1,
-                                       extp[np.minimum(eml, 255)], 0.0)
+    symAB = np.minimum(bitsA, bitsB)
 
-    cost = np.zeros(n + 1, dtype=np.float64)
+    def mprice(p, t):
+        """Price of the match at p truncated to t bytes."""
+        e = t - LZ_MATCH_MIN_LEN
+        li = min(e, LZ_LENID_SIZE - 1)
+        s = 256 + int(roid[p]) * LZ_LENID_SIZE + li
+        return symAB[s] + robl[p] + (extp[e] if e >= LZ_LENID_SIZE - 1 else 0.0)
+
+    cost = np.zeros(n + 2, dtype=np.float64)
     choice = np.zeros(n, dtype=np.int64)  # 0 lit, 1 word, 2 match
+    mlen = np.zeros(n, dtype=np.int64)  # chosen (possibly truncated) length
     # backward over positions; block independence means this could run per
     # block in lockstep on device — here just one backward sweep
     for p in range(end - 1, PAD_FRONT - 1, -1):
@@ -116,9 +118,16 @@ def optimal_parse(an, buf, seg_len, prices, fence, taps=False):
                 c, ch = cw, 1
         L = int(an.bestlen[p])
         if L >= LZ_MATCH_MIN_LEN:
-            cm = match_p[p] + cost[p + L]
-            if cm < c:
-                c, ch = cm, 2
+            if taps:
+                lens = range(LZ_MATCH_MIN_LEN, min(L, 16) + 1)
+                lens = list(lens) + [t for t in TAPS_LONG if t <= L]
+            else:
+                lens = [L]
+            for t in lens:
+                cm = mprice(p, t) + cost[p + t]
+                if cm < c:
+                    c, ch = cm, 2
+                    mlen[p] = t
         cost[p] = c
         choice[p] = ch
 
@@ -127,8 +136,9 @@ def optimal_parse(an, buf, seg_len, prices, fence, taps=False):
     while p < end:
         ch = choice[p]
         if ch == 2:
-            starts.append(p); kinds.append(2); lengths.append(int(an.bestlen[p]))
-            p += int(an.bestlen[p])
+            L = int(mlen[p]) if taps else int(an.bestlen[p])
+            starts.append(p); kinds.append(2); lengths.append(L)
+            p += L
         elif ch == 1:
             starts.append(p); kinds.append(1); lengths.append(2)
             p += 2

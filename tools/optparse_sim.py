@@ -72,6 +72,28 @@ def stream_prices(items, coded):
     return bitsA, bitsB, extp
 
 
+def census_prices(items):
+    """Cheap price model: ideal -log2 frequencies of the pass-1 item symbols
+    split by after_literal (NO symrank pass).  Device-friendly: one scatter
+    over the lazy items; tests whether the DP needs real coded-rank prices."""
+    bitsA = np.full(SYMRANK_NUM_SYMBOLS, 13.0)
+    bitsB = np.full(SYMRANK_NUM_SYMBOLS, 13.0)
+    for al, tab in ((1, bitsA), (0, bitsB)):
+        cs = items.symbol[items.after_literal == al]
+        if not len(cs):
+            continue
+        cnt = np.bincount(cs, minlength=SYMRANK_NUM_SYMBOLS).astype(np.float64)
+        nz = cnt > 0
+        tab[nz] = np.minimum(-np.log2(cnt[nz] / cnt.sum()), 15.0)
+    ext = items.eml[(items.kind == 2) & (items.eml >= LZ_LENID_SIZE - 1)]
+    extp = np.full(256, 10.0)
+    if len(ext):
+        cnt = np.bincount(ext, minlength=256).astype(np.float64)
+        nz = cnt > 0
+        extp[nz] = np.minimum(-np.log2(cnt[nz] / cnt.sum()), 15.0)
+    return bitsA, bitsB, extp
+
+
 # Match-edge lengths the device DP considers (cost-array rows are read at
 # scalar, lane-uniform offsets only): every length up to 16, then a coarse
 # ladder.  A longer best-match is offered TRUNCATED to each ladder length
@@ -194,10 +216,29 @@ def main():
     _, _, perm2 = census_ref(items2.symbol[
         (items2.start - PAD_FRONT) // rc.CHUNK_INPUT_DEFAULT == 0])
     coded2 = symrank_ref(items2, perm2)
-    walk3 = optimal_parse(an, buf, n, stream_prices(items2, coded2), rc.FENCE)
+    prices2 = stream_prices(items2, coded2)
+    walk3 = optimal_parse(an, buf, n, prices2, rc.FENCE)
     s3 = encode_with_walk(an, buf, n, walk3)
     print(f"optimal x2:    {len(s3)} B ({len(s3)/n*100:.2f}%) "
           f"vs orz {len(s3)/73376*100:.2f}%", flush=True)
+
+    # device edge set: taps-truncated matches (restricted but exact edges)
+    walk4 = optimal_parse(an, buf, n, prices, rc.FENCE, taps=True)
+    s4 = encode_with_walk(an, buf, n, walk4)
+    ok4 = rc.decode_segment_ref(s4) == data
+    print(f"optimal taps:  {len(s4)} B ({len(s4)/n*100:.2f}%) "
+          f"vs orz {len(s4)/73376*100:.2f}% rt={ok4}", flush=True)
+    walk5 = optimal_parse(an, buf, n, prices2, rc.FENCE, taps=True)
+    s5 = encode_with_walk(an, buf, n, walk5)
+    print(f"opt taps x2:   {len(s5)} B ({len(s5)/n*100:.2f}%) "
+          f"vs orz {len(s5)/73376*100:.2f}%", flush=True)
+
+    # census-only prices (no symrank pass needed): the device-cheap model
+    walk6 = optimal_parse(an, buf, n, census_prices(items1), rc.FENCE,
+                          taps=True)
+    s6 = encode_with_walk(an, buf, n, walk6)
+    print(f"census taps:   {len(s6)} B ({len(s6)/n*100:.2f}%) "
+          f"vs orz {len(s6)/73376*100:.2f}%", flush=True)
 
 
 if __name__ == "__main__":

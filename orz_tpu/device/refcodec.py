@@ -41,8 +41,8 @@ Model semantics (all bytes-only; b is the padded buffer, data in
         q and p; it must be < RING (32766; extended ROID schedule, spec.py).
     candidates(p): among the last D positions q < p with
         match_key(q) == match_key(p) (cctx + hashed dword), keep those with
-        reduced offset < RING whose 16-byte LCP meets the offset's price
-        gate (min_match_len_for_ro); score by (lcp16, then recency), extend
+        reduced offset < RING whose SCORE_W-byte LCP meets the offset's
+        price gate (min_match_len_for_ro); score by (lcp, then recency), extend
         the winner to LZ_MATCH_MAX_LEN, cap by segment end; the final match
         must still meet the gate.
     parse (mirrors the reference lazy heuristics, src/lz.rs:113-118):
@@ -148,6 +148,12 @@ class Items:
     pred_len: bool = True  # length prediction active (segment header bit)
 
 
+# Candidate scoring window in bytes (must equal ops/analyze.py LCP0 /
+# ops/match_pallas.py N_DW*4: candidates are ranked by their LCP within
+# this window, full-window winners extended to the true length afterwards).
+SCORE_W = 32
+
+
 def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
                 start_mask: np.ndarray | None = None) -> Analysis:
     """Sequential per-position analysis (the oracle for ops/analyze.py).
@@ -191,7 +197,7 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
         # and no item ever crosses a fence (ops/analyze.py mirrors this).
         cap = min(FENCE - ((p - PAD_FRONT) % FENCE), end - p)
         chain = chains.get(mkey[p])
-        best16, bro, blen, bq = 0, -1, 0, 0
+        bestw, bro, blen, bq = 0, -1, 0, 0
         if chain:
             for q in chain[-1 : -depth - 1 : -1]:
                 if start_mask is not None:
@@ -204,15 +210,15 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
                     ro = rank[p] - 1 - rank[q]
                 if ro >= RING:
                     continue
-                l16 = min(_lcp(buf, q, p, 16), cap)
-                if l16 < min_match_len_for_ro(ro):
+                lw = min(_lcp(buf, q, p, SCORE_W), cap)
+                if lw < min_match_len_for_ro(ro):
                     continue  # far offsets must pay for their raw bits
-                if l16 > best16:
-                    best16, bro, bq = l16, ro, q
-                    if l16 >= 16:
+                if lw > bestw:
+                    bestw, bro, bq = lw, ro, q
+                    if lw >= SCORE_W:
                         blen = min(_lcp(buf, q, p, LZ_MATCH_MAX_LEN), cap)
                     else:
-                        blen = l16
+                        blen = lw
         if bro >= 0:
             if blen >= min_match_len_for_ro(bro):
                 bestlen[p] = blen

@@ -47,10 +47,11 @@ from orz_tpu.device.spec import (
     min_match_len_for_ro,
 )
 
-LCP0 = 16  # initial (sort-payload) LCP window in bytes; measured on the
-# sequential oracle (encode_segment_seq2, 256 KiB): scoring candidates by
-# their 16-byte LCP instead of 32 is ratio-neutral (100.22% vs 100.24% of
-# orz) and halves the candidate sort's payload operands.
+LCP0 = 32  # initial (sort-payload) LCP window in bytes; measured on the
+# sequential oracle (encode_segment_seq2, 256 KiB): 16 vs 32 is
+# ratio-neutral (100.22% vs 100.24% of orz).  32 costs 4 more sort payload
+# arrays but shrinks the gather-extension terminal set ~4x (only matches
+# that fill the whole window ever reach the extension stages).
 N_DW = LCP0 // 4
 
 
@@ -156,8 +157,23 @@ def context_ranks(ba: ByteArrays, valid: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(valid, rank, 0)
 
 
-def _lcp_block(x0, x1, x2, x3):
-    """LCP in bytes over a 16-byte block given the four dword XORs (LE)."""
+EXT_W = 32  # bytes compared per extension round
+
+# NOTE on fetch shape: element (4-byte) gathers are the only fast gather
+# path on TPU — slice-mode gathers (slice_sizes=(16,)/(64,)) and 2-D row
+# gathers measured 6-9x SLOWER per byte at 65K-262K indices on v5e, and
+# wide-element (c64) gathers are unimplemented.  So extension rounds fetch
+# EXT_W bytes as EXT_W/4 per-dword gathers per side.
+
+
+def _gather_dwords(dw: jnp.ndarray, base: jnp.ndarray, offset: int):
+    n = dw.shape[0]
+    return dw[jnp.clip(base + offset, 0, n - 1)]
+
+
+def _lcp_round(dw, qb, pb, width):
+    """(lcp, full): common-prefix bytes of buf[qb:qb+width] vs
+    buf[pb:pb+width] via per-dword gathers of the dword array."""
 
     def partial_bytes(v):
         b0 = (v & 0xFF) == 0
@@ -165,40 +181,14 @@ def _lcp_block(x0, x1, x2, x3):
         b2 = (v & 0xFFFFFF) == 0
         return b0.astype(jnp.int32) + (b0 & b1) + (b0 & b1 & b2)
 
-    e0, e1, e2, e3 = x0 == 0, x1 == 0, x2 == 0, x3 == 0
-    lcp = jnp.where(
-        ~e0,
-        partial_bytes(x0),
-        jnp.where(
-            ~e1,
-            4 + partial_bytes(x1),
-            jnp.where(
-                ~e2, 8 + partial_bytes(x2),
-                jnp.where(~e3, 12 + partial_bytes(x3), 16),
-            ),
-        ),
-    )
-    return lcp, e0 & e1 & e2 & e3
-
-
-def _lcp_dwords(xors):
-    """LCP in bytes over len(xors)*4 bytes from dword XORs."""
-    total = jnp.zeros_like(xors[0], shape=xors[0].shape).astype(jnp.int32)
-    alive = None
-    for k in range(0, len(xors), 4):
-        lcp, full = _lcp_block(*xors[k : k + 4])
-        if alive is None:
-            total = lcp
-            alive = full
-        else:
-            total = jnp.where(alive, total + lcp, total)
-            alive = alive & full
-    return total, alive
-
-
-def _gather_dwords(dw: jnp.ndarray, base: jnp.ndarray, offset: int):
-    n = dw.shape[0]
-    return dw[jnp.clip(base + offset, 0, n - 1)]
+    xors = [
+        _gather_dwords(dw, qb, 4 * t) ^ _gather_dwords(dw, pb, 4 * t)
+        for t in range(width // 4)
+    ]
+    lcp = jnp.full(xors[0].shape, width, jnp.int32)
+    for t in range(len(xors) - 1, -1, -1):
+        lcp = jnp.where(xors[t] != 0, 4 * t + partial_bytes(xors[t]), lcp)
+    return lcp, lcp >= width
 
 
 @partial(jax.jit, static_argnames=("depth",))
@@ -273,10 +263,10 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     #    several times rarer).
     cur = lcp_best
     full = (lcp_best >= LCP0) & (cap_back > LCP0) & (best_q >= 0)
-    link = full & (_shift_left(best_q, 16) == best_q + 16)
+    link = full & (_shift_left(best_q, LCP0) == best_q + LCP0)
     alive = full & ~link
 
-    k_a = max(1024, n // 32)
+    k_a = max(1024, n // 64)
     _, alive_first = lax.sort(
         ((~alive).astype(jnp.int32), jnp.arange(n, dtype=jnp.int32)), num_keys=2
     )
@@ -289,14 +279,17 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
 
     def _stage(cur, alive_in, alive_out, k_sub, first_round, last_round,
                n_fast=1):
-        """Extend survivors by 16-byte blocks over rounds
-        [first_round, last_round) in chunks of k_sub entries of alive_first;
-        alive_out records who still lives at last_round (None on the final
-        stage).  The single-chunk case (survivors fit k_sub — virtually
-        always) runs straight-line under lax.cond: a chunk WHILE-loop would
-        carry the full-size cur/alive arrays and XLA brackets every dynamic
-        loop with memory-space copies of its carries (~90 ms each at 4Mi);
-        the multi-chunk fallback keeps exactness at any survivor count."""
+        """Extend survivors by EXT_W-byte rounds over [first_round,
+        last_round) in chunks of k_sub entries of alive_first; alive_out
+        records who still lives at last_round (None on the final stage).
+        Each round fetches ONE contiguous EXT_W-byte slice per side
+        (slice-mode gather: per-16-bytes-compared it costs 1/8th the gather
+        ops of the old per-dword fetches) and advances by the row LCP.
+        The single-chunk case (survivors fit k_sub — virtually always) runs
+        straight-line under lax.cond: a chunk WHILE-loop would carry the
+        full-size cur/alive arrays and XLA brackets every dynamic loop with
+        memory-space copies of its carries (~90 ms each at 4Mi); the
+        multi-chunk fallback keeps exactness at any survivor count."""
 
         def one_chunk(c, cur, aout):
             sub_p = lax.dynamic_slice(alive_first, (c * k_sub,), (k_sub,))
@@ -312,18 +305,12 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
 
             def tail_round(tc):
                 k, scur, salive = tc
-                off = 16 * k
-                qb = jnp.where(salive, sub_q, 0)
-                pb = jnp.where(salive, sub_p, 0)
-                xors = [
-                    _gather_dwords(ba.dw, qb, off + 4 * t)
-                    ^ _gather_dwords(ba.dw, pb, off + 4 * t)
-                    for t in range(4)
-                ]
-                lcp, full = _lcp_block(*xors)
+                qb = jnp.where(salive, sub_q + scur, 0)
+                pb = jnp.where(salive, sub_pc + scur, 0)
+                lcp, full_w = _lcp_round(ba.dw, qb, pb, EXT_W)
                 scur = jnp.where(salive, scur + lcp, scur)
                 scur = jnp.minimum(scur, sub_cap)
-                return k + 1, scur, salive & full & (scur < sub_cap)
+                return k + 1, scur, salive & full_w & (scur < sub_cap)
 
             _, sub_cur, sub_alive = lax.while_loop(
                 tail_cond, tail_round,
@@ -357,20 +344,19 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
         return lax.cond(n_alive <= n_fast * k_sub, fast, general,
                         cur, alive_out)
 
-    # Stage A: 2 rounds over the terminal set; stage B: the remaining
-    # rounds over the same compaction order in 4x smaller chunks, so the
-    # sparse long-match tail only keeps ITS chunk's gathers running (a
-    # single k_a-wide loop pays ~8 gathers x k_a per round until the very
-    # longest survivor dies).
+    # Stage A: one EXT_W round over the terminal set (covers matches to
+    # LCP0+EXT_W bytes); stage B: the remaining rounds over the same
+    # compaction order in 4x smaller chunks, so the sparse long-match tail
+    # only keeps ITS chunk's gathers running.
+    n_rounds = -(-(LZ_MATCH_MAX_LEN - LCP0) // EXT_W)  # 7 at 240/32/32
     aliveB = jnp.zeros(n, bool)
-    cur, aliveB = _stage(cur, alive, aliveB, k_a, LCP0 // 16, LCP0 // 16 + 2,
-                         n_fast=2)
-    cur, _ = _stage(cur, aliveB, None, max(1024, k_a // 4),
-                    LCP0 // 16 + 2, LZ_MATCH_MAX_LEN // 16, n_fast=8)
+    cur, aliveB = _stage(cur, alive, aliveB, k_a, 0, 1, n_fast=2)
+    cur, _ = _stage(cur, aliveB, None, max(1024, k_a // 4), 1, n_rounds,
+                    n_fast=8)
 
-    # backward stitch: chains are at most LZ_MATCH_MAX_LEN/16 links long
-    for _ in range(LZ_MATCH_MAX_LEN // 16):
-        cur = jnp.where(link, 16 + _shift_left(cur, 16), cur)
+    # backward stitch: chains are at most LZ_MATCH_MAX_LEN/LCP0 links long
+    for _ in range(-(-LZ_MATCH_MAX_LEN // LCP0)):
+        cur = jnp.where(link, LCP0 + _shift_left(cur, LCP0), cur)
 
     blen = jnp.minimum(cur, LZ_MATCH_MAX_LEN)
     has = (

@@ -33,13 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from orz_tpu.device.spec import FENCE, PAD_FRONT, RING, min_match_len_for_ro
 
-N_DW = 4  # dwords of LCP window carried through the sort (16 bytes)
+N_DW = 8  # dwords of LCP window carried through the sort (32 bytes; the
+# wider window cuts the post-kernel extension's terminal set ~4x — matches
+# shorter than the window never enter the gather-extension stages — and was
+# measured ratio-neutral vs 16 on the sequential oracle)
 ROWS = 256  # tile rows; tile = (ROWS, 128) int32 per operand (128 KiB)
 LANES = 128
 
 
-def _lcp16(x0, x1, x2, x3):
-    """LCP in bytes over a 16-byte window from the four dword XORs (LE)."""
+def _lcp_w(xors):
+    """LCP in bytes over the len(xors)*4-byte window from dword XORs (LE)."""
 
     def partial_bytes(v):
         b0 = (v & 0xFF) == 0
@@ -47,17 +50,10 @@ def _lcp16(x0, x1, x2, x3):
         b2 = (v & 0xFFFFFF) == 0
         return b0.astype(jnp.int32) + (b0 & b1) + (b0 & b1 & b2)
 
-    e0, e1, e2 = x0 == 0, x1 == 0, x2 == 0
-    return jnp.where(
-        ~e0,
-        partial_bytes(x0),
-        jnp.where(
-            ~e1,
-            4 + partial_bytes(x1),
-            jnp.where(~e2, 8 + partial_bytes(x2),
-                      jnp.where(x3 != 0, 12 + partial_bytes(x3), 16)),
-        ),
-    )
+    lcp = jnp.full(xors[0].shape, 4 * len(xors), jnp.int32)
+    for t in range(len(xors) - 1, -1, -1):
+        lcp = jnp.where(xors[t] != 0, 4 * t + partial_bytes(xors[t]), lcp)
+    return lcp
 
 
 def _make_kernel(depth: int, n_arrays: int):
@@ -105,10 +101,7 @@ def _make_kernel(depth: int, n_arrays: int):
             same = mskj == msk
             ro = rank_s - 1 - rankj
             ok = same & (ro < RING)
-            lcp = _lcp16(
-                sh[3] ^ dw_s[0], sh[4] ^ dw_s[1],
-                sh[5] ^ dw_s[2], sh[6] ^ dw_s[3],
-            )
+            lcp = _lcp_w([sh[3 + t] ^ dw_s[t] for t in range(N_DW)])
             lcp = jnp.minimum(lcp, cap)
             ok = ok & (lcp >= min_match_len_for_ro(ro))
             score = jnp.where(ok, lcp * 64 + (depth - j), -1)

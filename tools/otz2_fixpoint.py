@@ -23,6 +23,7 @@ import orz_tpu.device.refcodec as rc
 from orz_tpu.device.spec import (
     LZ_MATCH_MIN_LEN,
     LZ_MATCH_MAX_LEN,
+    NEG_EML_DEPTH,
     PAD_FRONT,
     RING,
     match_key_all,
@@ -49,11 +50,10 @@ def host_conform(buf, seg_len, cctx, start, kind, length, q_arr, window=96):
         ro = np.where(q_is_start, srank - srank[idxc] - 1, 0)
         viol = (kind == 2) & ~rep0 & (~q_is_start | (ro >= RING))
         viol_pred = np.zeros(len(start), dtype=bool)
-        # length-prediction invariant (parse_ref emission): a match shorter
-        # than its target's len_min floor would force pred off for the whole
-        # segment (measured ~3.5 pt of ratio); demote those too.  The
-        # sequential search guarantees the invariant by construction
-        # (src/matcher.rs match_len_min); the parallel parse does not.
+        # length-prediction floor (parse_ref emission): matches below their
+        # target's len_min are codeable via the NEGATIVE eml band down to
+        # NEG_EML_DEPTH under it (spec.py); only deeper misses would force
+        # prediction off for the whole segment — demote those (rare).
         len_min_arr = np.zeros(len(buf), dtype=np.int64)
         for i in range(len(start)):
             if kind[i] != 2 or viol[i]:
@@ -63,7 +63,7 @@ def host_conform(buf, seg_len, cctx, start, kind, length, q_arr, window=96):
                        int(end - start[i]))
             lm = min(max(len_min_arr[q], LZ_MATCH_MIN_LEN), room)
             L = int(length[i])
-            if L < lm:  # rep0 included: prediction applies to all matches
+            if lm - L > NEG_EML_DEPTH:
                 viol_pred[i] = True  # demote outright: a re-target could
                 continue  # return the same match and never converge
             if len_min_arr[q] <= L:

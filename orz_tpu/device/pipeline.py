@@ -188,7 +188,7 @@ def encode_front_jit(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int):
     an = analyze(buf, seg_len, depth)
     dec = decisions(an, seg_len, n)
     starts, n_items = walk_items(dec, seg_len, n)
-    pk1 = pack_fields(an, dec)
+    pk1 = pack_fields(an, dec, buf)
     return starts, n_items, pk1, an.bestq, an.bestro, buf
 
 
@@ -198,7 +198,7 @@ def encode_mid_jit(starts, n_items, pk1, bestq, bestro, buf, seg_len,
     from orz_tpu.ops.symrank_pallas import plan_stats
 
     items = build_items(
-        starts[:m_cap], n_items, pk1, bestq, bestro, buf, seg_len
+        starts[:m_cap], n_items, pk1, bestq, bestro, seg_len
     )
     r1, rounds = plan_stats(items.sr_ctx, items.n_items)
     return items, r1, rounds

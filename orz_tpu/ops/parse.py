@@ -167,12 +167,16 @@ def walk_items(dec: Decisions, seg_len: jnp.ndarray, n: int):
     return starts, n_items
 
 
-def pack_fields(an: Analysis, dec: Decisions) -> jnp.ndarray:
+def pack_fields(an: Analysis, dec: Decisions, buf: jnp.ndarray) -> jnp.ndarray:
     """Pack the per-position fields build_items needs into one int32 so the
-    item-space view costs one gather instead of four."""
+    item-space view costs one gather instead of several.  Bits 2..9 hold
+    the match length for matches and the LITERAL BYTE for non-matches
+    (length is implied by kind for literals/words), which saves build_items
+    a separate buf[start] gather."""
+    lob = jnp.where(dec.kind == 2, dec.length, buf.astype(jnp.int32))
     return (
         dec.kind
-        | (dec.length << 2)
+        | (lob << 2)
         | (an.cctx << 10)
         | ((an.pred & 0xFF) << 18)
     )
@@ -181,10 +185,9 @@ def pack_fields(an: Analysis, dec: Decisions) -> jnp.ndarray:
 def build_items(
     starts: jnp.ndarray,  # (M_CAP,) item starts (stream order, end-filled)
     n_items: jnp.ndarray,
-    pk1: jnp.ndarray,  # (n,) packed kind/length/cctx/pred8
+    pk1: jnp.ndarray,  # (n,) packed kind/len-or-byte/cctx/pred8
     bestq: jnp.ndarray,  # (n,)
     bestro: jnp.ndarray,  # (n,)
-    buf: jnp.ndarray,
     seg_len: jnp.ndarray,
 ) -> Items:
     """Item arrays from compacted starts (runs at the M_CAP bucket)."""
@@ -196,7 +199,10 @@ def build_items(
 
     f = pk1[start]
     kind = jnp.where(valid, f & 3, 0)
-    length = jnp.where(valid, (f >> 2) & 0xFF, 0)
+    lob = (f >> 2) & 0xFF  # match length / literal byte (see pack_fields)
+    length = jnp.where(
+        valid, jnp.where(kind == 2, lob, jnp.where(kind == 1, 2, 1)), 0
+    )
     cctx = (f >> 10) & 0xFF
     pred8 = (f >> 18) & 0xFF
     after_literal = jnp.concatenate(
@@ -231,7 +237,12 @@ def build_items(
         jnp.zeros(mc, jnp.int32), jnp.ones(mc, jnp.int32)
     ])
     spay = jnp.concatenate([m_ids, m_ids])  # item idx / query's item idx
-    _, o_role, o_pay = lax.sort((skey, srole, spay), num_keys=2)
+    slen = jnp.concatenate([  # query rows carry their match length
+        jnp.zeros(mc, jnp.int32), jnp.where(is_match, length, 0)
+    ])
+    o_key, o_role, o_pay, o_len = lax.sort(
+        (skey, srole, spay, slen), num_keys=2
+    )
     last_item = lax.cummax(jnp.where(o_role == 0, o_pay, -1))
     # deliver each query row's candidate back to its item slot
     qslot = jnp.where(o_role == 1, o_pay, mc)
@@ -241,24 +252,27 @@ def build_items(
     hit = (start[cand] == q_item) & is_match
     expected_q = jnp.where(hit & (kind[cand] == 2), length[cand], 0)
 
-    # len_min: exclusive in-group running max over matches grouped by target
-    key2 = jnp.where(is_match & valid, q_item, n)
-    skey2, sidx = lax.sort((key2, m_ids), num_keys=2)
-    L_sorted = jnp.where(is_match, length, 0)[sidx]
-    first = jnp.concatenate([jnp.ones(1, bool), skey2[1:] != skey2[:-1]])
+    # len_min: exclusive running max over matches grouped by target — the
+    # query rows of the SAME merge sort are contiguous per target key and
+    # stably ordered by item index, so a segmented scan over the carried
+    # lengths replaces the separate (target, item)-keyed sort + scatter.
+    first = jnp.concatenate([
+        jnp.ones(1, bool),
+        (o_key[1:] != o_key[:-1]) | (o_role[1:] != o_role[:-1]),
+    ])
 
     def _seg_op(a, b):
         fa, ma = a
         fb, mb = b
         return fa | fb, jnp.where(fb, mb, jnp.maximum(ma, mb))
 
-    _, incl = lax.associative_scan(_seg_op, (first, L_sorted))
+    _, incl = lax.associative_scan(_seg_op, (first, o_len))
     excl = jnp.where(
         first, 0, jnp.concatenate([jnp.zeros(1, jnp.int32), incl[:-1]])
     )
-    prev_max_l = jnp.zeros(mc, jnp.int32).at[sidx].set(
-        excl, unique_indices=True
-    )
+    prev_max_l = jnp.zeros(mc + 1, jnp.int32).at[qslot].max(
+        jnp.where(o_role == 1, excl, 0), mode="drop"
+    )[:mc]
     len_min_q = jnp.where(prev_max_l > 0, jnp.minimum(prev_max_l + 1, 127), 0)
 
     fence_room = jnp.minimum(
@@ -283,7 +297,7 @@ def build_items(
     symbol = jnp.where(
         kind == 2,
         jnp.where(rep0, REP0_BASE + lenid, 256 + roid * LZ_LENID_SIZE + lenid),
-        jnp.where(kind == 1, WORD_SYMBOL, buf[start].astype(jnp.int32)),
+        jnp.where(kind == 1, WORD_SYMBOL, lob),  # literal byte from pk1
     )
     sr_ctx = cctx | (after_literal << 8)
     sr_unlikely = pred8
@@ -299,5 +313,5 @@ def extract_items(dec: Decisions, an: Analysis, buf: jnp.ndarray, seg_len: jnp.n
     build_items can use a bucketed item capacity."""
     n = dec.nxt.shape[0]
     starts, n_items = walk_items(dec, seg_len, n)
-    pk1 = pack_fields(an, dec)
-    return build_items(starts, n_items, pk1, an.bestq, an.bestro, buf, seg_len)
+    pk1 = pack_fields(an, dec, buf)
+    return build_items(starts, n_items, pk1, an.bestq, an.bestro, seg_len)

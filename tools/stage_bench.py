@@ -119,7 +119,7 @@ def main():
 
     dec = stage("decisions", lambda a, s: decisions(a, s, n), an, seg_len)
     stage("walk_items", lambda d, s: walk_items(d, s, n), dec, seg_len)
-    stage("pack_fields", pack_fields, an, dec)
+    stage("pack_fields", pack_fields, an, dec, buf)
 
     # mid/back via the dispatch path
     front = pipe.dispatch_segment_front(data, level, CHUNK_INPUT_DEFAULT)

@@ -227,6 +227,19 @@ inline int alnum(uint8_t b) {
   return (b >= '0' && b <= '9') || (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z');
 }
 
+// cctx(prev1, prev2) as one 64K-entry table lookup: the per-byte ring/word
+// catch-up loops run once per INPUT BYTE, and the table load replaces the
+// mask/alnum/shift chain on their critical path (~1.5x on the catch-up).
+struct Ctx16 {
+  uint8_t t[1 << 16];  // index: (prev2 << 8) | prev1
+  Ctx16() {
+    for (int b2 = 0; b2 < 256; b2++)
+      for (int b1 = 0; b1 < 256; b1++)
+        t[(b2 << 8) | b1] = (uint8_t)((b1 & 0x7F) | (alnum((uint8_t)b2) << 7));
+  }
+};
+const Ctx16 CTX16;
+
 struct Decoder {
   std::vector<uint8_t> buf;
   // per-context append-only position logs: sequential writes keep the 256
@@ -238,7 +251,7 @@ struct Decoder {
   int64_t end = 0, done_ring = PAD_FRONT, done_word = PAD_FRONT;
 
   inline int cctx_at(int64_t p) const {
-    return (buf[p - 1] & 0x7F) | (alnum(buf[p - 2]) << 7);
+    return CTX16.t[(buf[p - 2] << 8) | buf[p - 1]];
   }
   inline int h2_at(int64_t x) const { return (buf[x] & 0x7F) | (cctx_at(x) << 7); }
 
@@ -257,11 +270,12 @@ struct Decoder {
     end = PAD_FRONT + raw_len;
     int pred_flag = (int)bd.raw(1);   // length-prediction header bit
     int rings_flag = (int)bd.raw(1);  // 1: item-start rings (spec.py OTZ2)
-    std::vector<uint8_t> len_min_arr, expected_arr;
-    if (pred_flag) {
-      len_min_arr.assign(PAD_FRONT + raw_len, 0);
-      expected_arr.assign(PAD_FRONT + raw_len, 0);
-    }
+    int words_flag = (int)bd.raw(1);  // 1: word table sampled at item ends
+    // len_min (low byte) and expected (high byte) share one u16 per
+    // position: both are indexed by the same random q per match, so one
+    // cache line serves the pair (separate arrays cost two misses)
+    std::vector<uint16_t> pred2;
+    if (pred_flag) pred2.assign(PAD_FRONT + raw_len, 0);
     size_t est = (size_t)raw_len / 128 + 64;
     for (int c = 0; c < NUM_CONTEXTS; c++) {
       ring_log[c].clear();
@@ -298,13 +312,7 @@ struct Decoder {
 
       for (int64_t it = 0; it < n_items; it++) {
         if (p >= end || bd.fail) return -5;
-        // rings_flag=0: every position enters its context ring; =1: only
-        // item starts do (inserted at the bottom, after the item's lookup)
-        while (!rings_flag && done_ring < p) {
-          ring_log[cctx_at(done_ring)].push_back((int32_t)done_ring);
-          done_ring++;
-        }
-        while (done_word <= p - 3) {
+        while (!words_flag && done_word <= p - 3) {
           int64_t u = done_word;
           words[h2_at(u)] = (uint16_t)(buf[u + 1] | (buf[u + 2] << 8));
           done_word++;
@@ -340,43 +348,72 @@ struct Decoder {
             lenid = (v - 256) % LENID_SIZE;
             if (roid >= ROID_SIZE) return -8;
             int ro = ROID.base[roid] + (int)bd.raw(ROID.bits[roid]);
+            // rings_flag=0: every position enters its context ring; =1:
+            // only item starts do (inserted at the item's end).  The
+            // catch-up runs LAZILY, only when a match actually consults a
+            // ring: bursts lengthen from ~3 bytes (per item) to ~20 (per
+            // match), amortizing the loop overhead that dominated decode.
+            while (!rings_flag && done_ring < p) {
+              ring_log[cctx_at(done_ring)].push_back((int32_t)done_ring);
+              done_ring++;
+            }
             const std::vector<int32_t>& log = ring_log[c1];
             if ((size_t)ro >= log.size() || ro >= RING) return -9;
             q = log[log.size() - 1 - (size_t)ro];
           }
-          int eml = (lenid == LENID_SIZE - 1) ? tabC.decode(bd) : lenid;
           if (q >= p || q < PAD_FRONT) return -10;
+          // overlap the q-side misses (source bytes + prediction pair)
+          // with the extension-length huffman decode below
+          __builtin_prefetch(&buf[q]);
+          if (pred_flag) __builtin_prefetch(&pred2[q], 1);
+          int eml = (lenid == LENID_SIZE - 1) ? tabC.decode(bd) : lenid;
           int match_len;
           if (pred_flag) {
             // length prediction (refcodec parse_ref; the reference's
             // len_min/len_expected rule, src/lz.rs:463-467).  The len_min
             // floor is capped by the parse-fence room at p (the encoder
             // truncates matches at FENCE boundaries; see device/spec.py).
-            int lm = len_min_arr[q];
+            uint16_t pq = pred2[q];
+            int lm = pq & 0xFF;
             if (lm < MATCH_MIN_LEN) lm = MATCH_MIN_LEN;
             int room = FENCE - ((p - PAD_FRONT) & (FENCE - 1));
             if (end - p < room) room = end - p;
             if (lm > room) lm = room;
-            int ex = expected_arr[q];
+            int ex = pq >> 8;
             if (ex < MATCH_MIN_LEN) ex = MATCH_MIN_LEN;
             if (eml >= NEG_EML_BASE) match_len = lm - 1 - (eml - NEG_EML_BASE);
             else if (eml + lm > ex) match_len = eml + lm;
             else if (eml > 0) match_len = eml + lm - 1;
             else match_len = ex;
             if (match_len < MATCH_MIN_LEN || match_len > MATCH_MAX_LEN) return -13;
-            if (len_min_arr[q] <= match_len)
-              len_min_arr[q] = (uint8_t)(match_len + 1 < 127 ? match_len + 1 : 127);
-            expected_arr[p] = (uint8_t)(match_len < 255 ? match_len : 255);
+            if ((pq & 0xFF) <= match_len)
+              pred2[q] = (uint16_t)((pq & 0xFF00) |
+                                    (match_len + 1 < 127 ? match_len + 1 : 127));
+            uint16_t pp = pred2[p];
+            pred2[p] = (uint16_t)((pp & 0x00FF) |
+                                  ((match_len < 255 ? match_len : 255) << 8));
           } else {
             match_len = eml + MATCH_MIN_LEN;
           }
           if (p + match_len > end) return -10;
-          for (int k = 0; k < match_len; k++) buf[p + k] = buf[q + k];
-          last_dist = p - q;
+          int64_t dist = p - q;
+          if (dist >= 8) {
+            // 8-byte chunk copy; PAD_TAIL slack absorbs the overrun
+            for (int k = 0; k < match_len; k += 8)
+              memcpy(&buf[p + k], &buf[q + k], 8);
+          } else {
+            for (int k = 0; k < match_len; k++) buf[p + k] = buf[q + k];
+          }
+          last_dist = dist;
           p += match_len;
           after_literal = false;
         }
         if (rings_flag) ring_log[c1].push_back((int32_t)p0);
+        if (words_flag && p - p0 != 2) {
+          // word table sampled at item ends only (not after word items) —
+          // the reference's rule (src/lz.rs:203,233); refcodec words_mode=1
+          words[h2_at(p - 3)] = (uint16_t)(buf[p - 2] | (buf[p - 1] << 8));
+        }
       }
     }
     if (p != end) return -11;

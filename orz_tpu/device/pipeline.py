@@ -389,6 +389,7 @@ def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input
 
     enc.encode_raw_bits(pred_len, 1)  # prediction flag
     enc.encode_raw_bits(rings_mode, 1)  # ring insertion rule (spec.py OTZ2)
+    enc.encode_raw_bits(0, 1)  # words_mode (refcodec header): device=0 yet
     enc.encode_varint(num_counted)
     for s in order[:num_counted]:
         enc.encode_raw_bits(int(s), 9)

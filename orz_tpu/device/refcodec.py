@@ -16,6 +16,10 @@ reference src/coder.rs:159-216):
     [raw_len == 0 ends here]
     1 bit pred_len                          # length prediction active
     1 bit rings_mode                        # 1: item-start rings (spec.py OTZ2)
+    1 bit words_mode                        # 1: word table sampled at item
+                                            #    ends (the reference's rule,
+                                            #    src/lz.rs:203,233); 0: at
+                                            #    every position (bytes-only)
     varint num_counted                      # symbol census of chunk 0's items
     9 bits x num_counted                    # (reference src/lz.rs:238-265)
     per chunk (ceil(raw_len / chunk_input) of them):
@@ -545,11 +549,13 @@ def encode_segment_ref(data: bytes, level: int = 1,
 
 
 def _finish_segment_stream(enc: BitEncoder, items: Items, raw_len: int,
-                           chunk_input: int, rings_mode: int) -> bytes:
+                           chunk_input: int, rings_mode: int,
+                           words_mode: int = 0) -> bytes:
     """Header bits + census + symrank + per-chunk entropy coding (shared by
     every sequential encoder variant)."""
     enc.encode_raw_bits(int(items.pred_len), 1)  # length-prediction flag
     enc.encode_raw_bits(rings_mode, 1)  # ring insertion rule (spec.py OTZ2)
+    enc.encode_raw_bits(words_mode, 1)  # word-table update rule (see header)
 
     n_chunks = n_chunks_for(raw_len, chunk_input)
     chunk_id = (items.start - PAD_FRONT) // chunk_input
@@ -576,7 +582,8 @@ def encode_segment_seq2(data: bytes, level: int = 2,
                         ro_cap: int = OTZ2_RO_CAP,
                         lcp0: int = 16,
                         rep0_search: bool = False,
-                        rep0_margin: int = 2) -> bytes:
+                        rep0_margin: int = 2,
+                        words_mode: int = 0) -> bytes:
     """Sequential OTZ2 encoder: TRUE item-start rings, built exactly the way
     the decoder replays them (insert each item's start after its own
     lookup), so the stream is rings_mode=1-decodable by construction — no
@@ -663,10 +670,11 @@ def encode_segment_seq2(data: bytes, level: int = 2,
     done_word = PAD_FRONT
     last_dist = 0
     while p < end:
-        while done_word <= p - 3:
-            u = done_word
-            words[h2[u]] = int(buf[u + 1]) | int(buf[u + 2]) << 8
-            done_word += 1
+        if not words_mode:  # bytes-only rule: every position updates
+            while done_word <= p - 3:
+                u = done_word
+                words[h2[u]] = int(buf[u + 1]) | int(buf[u + 2]) << 8
+                done_word += 1
         pred[p] = words[h2[p - 1]]
         wordmatch = (int(buf[p]) | int(buf[p + 1]) << 8) == pred[p]
 
@@ -711,6 +719,12 @@ def encode_segment_seq2(data: bytes, level: int = 2,
         ctx_count[c] += 1
         chains.setdefault(mkey[p], []).append(p)
         p += adv
+        if words_mode and adv != 2:
+            # words_mode=1 (the reference's rule, src/lz.rs:203,233): the
+            # table is sampled ONLY at item ends (after literal and match
+            # items, not word items), keying 3 back from the new position.
+            # Hot keys stop churning mid-match; measured ~7x more word hits.
+            words[h2[p - 3]] = int(buf[p - 2]) | int(buf[p - 1]) << 8
 
     start = np.asarray(starts, dtype=np.int64)
     kind = np.asarray(kinds, dtype=np.int64)
@@ -720,7 +734,8 @@ def encode_segment_seq2(data: bytes, level: int = 2,
     _, _, rep0 = _rep0_flags(start, kind, q_arr)
     items = _emit_items(cctx, pred, buf, len(data), start, kind, length,
                         q_arr, ro_arr, rep0)
-    return _finish_segment_stream(enc, items, len(data), chunk_input, 1)
+    return _finish_segment_stream(enc, items, len(data), chunk_input, 1,
+                                  words_mode)
 
 
 def _encode_chunk_items(enc: BitEncoder, items: Items, coded: np.ndarray, sel: np.ndarray) -> None:
@@ -773,6 +788,7 @@ def decode_segment_ref(payload: bytes) -> bytes:
     end = PAD_FRONT + raw_len
     pred_len = dec.decode_raw_bits(1)
     rings_mode = dec.decode_raw_bits(1)  # 1: item-start rings (spec.py OTZ2)
+    words_mode = dec.decode_raw_bits(1)  # 1: word table sampled at item ends
 
     num_counted = dec.decode_varint()
     if num_counted > SYMRANK_NUM_SYMBOLS:
@@ -839,7 +855,7 @@ def decode_segment_ref(payload: bytes) -> bytes:
                 ring[c, ctx_count[c] % RING] = done_ring
                 ctx_count[c] += 1
                 done_ring += 1
-            while done_word <= p - 3:
+            while not words_mode and done_word <= p - 3:
                 u = done_word
                 words[h2_at(u)] = int(buf[u + 1]) | int(buf[u + 2]) << 8
                 done_word += 1
@@ -912,6 +928,10 @@ def decode_segment_ref(payload: bytes) -> bytes:
             if rings_mode:  # item-start ring insertion (after own lookup)
                 ring[c1, ctx_count[c1] % RING] = p0
                 ctx_count[c1] += 1
+            if words_mode and p - p0 != 2:
+                # word table sampled at item ends only (not after word
+                # items) — the reference's rule, src/lz.rs:203,233
+                words[h2_at(p - 3)] = int(buf[p - 2]) | int(buf[p - 1]) << 8
 
     if p != end:
         raise OTZFormatError("decoded length mismatch")

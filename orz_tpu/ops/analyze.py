@@ -191,9 +191,15 @@ def _lcp_round(dw, qb, pb, width):
     return lcp, lcp >= width
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
+def _analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
+             mask: jnp.ndarray | None) -> Analysis:
     """Full phase-1 analysis of one padded segment (jit, static depth).
+
+    mask (OTZ2, spec.py): when given, candidates are restricted to masked
+    positions (the previous parse's item starts), `rank` becomes the MASKED
+    in-context prefix count (so reduced offsets are start-rank estimates,
+    oracle analyze_ref start_mask), offsets gate at OTZ2_RO_CAP, and
+    `depth` counts sorted-space shifts over the mixed rows.
 
     Candidate search runs entirely in (key, pos)-sorted space: a position's
     j-th-previous same-key candidate sits j slots earlier in the sorted
@@ -214,26 +220,33 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     cur_word = b | _shift_left(b, 1) << 8
     wordmatch = cur_word == pred
 
-    rank = context_ranks(ba, valid)
+    if mask is None:
+        rank = context_ranks(ba, valid)
+    else:
+        rank = masked_context_counts(ba, valid, mask)
 
     # one sort carries every candidate operand into (mkey, pos) space; the
     # fence/end length cap is an elementwise function of the sorted
     # positions, so it does not ride the sort as a payload
     mk = jnp.where(valid, ba.mkey, jnp.int32(0x7FFFFFFF))
     dws = [_shift_left(ba.dw, 4 * k).astype(jnp.int32) for k in range(N_DW)]
+    extra = () if mask is None else (mask.astype(jnp.int32),)
     sorted_all = lax.sort(
-        (mk, p, rank) + tuple(dws), num_keys=2
+        (mk, p, rank) + tuple(dws) + extra, num_keys=2
     )
     msk, msp, rank_s = sorted_all[:3]
-    dw_s = [a.astype(jnp.uint32) for a in sorted_all[3:]]
+    dw_s = [a.astype(jnp.uint32) for a in sorted_all[3 : 3 + N_DW]]
+    mask_s = sorted_all[3 + N_DW] if mask is not None else None
 
     # Depth loop: a Pallas kernel runs all `depth` shift-compare rounds over
     # VMEM tiles, reading each sorted operand from HBM exactly once (the XLA
     # fori_loop streamed every array once per round — ~50 ms at 4 MiB).
+    from orz_tpu.device.spec import OTZ2_RO_CAP
     from orz_tpu.ops.match_pallas import match_depth_pallas
 
     best_q_s, best_ro_s, best_len_s = match_depth_pallas(
-        msk, msp, rank_s, tuple(dw_s), end, depth
+        msk, msp, rank_s, tuple(dw_s), end, depth, mask_s=mask_s,
+        ro_cap=OTZ2_RO_CAP if mask is not None else RING,
     )
 
     # back to position space (sort on stored position, no scatters); the
@@ -368,3 +381,39 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     bestro = jnp.where(has, best_ro, 0)
     bestq = jnp.where(has, best_q, 0)
     return Analysis(ba.cctx, rank, pred, wordmatch, bestlen, bestro, bestq)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
+    return _analyze(buf, seg_len, depth, None)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def analyze_masked(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
+                   mask: jnp.ndarray) -> Analysis:
+    """OTZ2 masked analysis (see _analyze; oracle analyze_ref start_mask)."""
+    return _analyze(buf, seg_len, depth, mask)
+
+
+def masked_context_counts(ba: ByteArrays, valid: jnp.ndarray,
+                          mask: jnp.ndarray) -> jnp.ndarray:
+    """scnt[p] = number of MASKED valid positions q < p with
+    cctx(q) == cctx(p) (oracle analyze_ref's scnt_ctx/scnt_pos: for masked
+    q this exclusive count is exactly its start-rank)."""
+    n = ba.cctx.shape[0]
+    x = jnp.arange(n, dtype=jnp.int32)
+    k = jnp.where(valid, ba.cctx, jnp.int32(0x7FFFFFFF))
+    sk, sp, sm = lax.sort(
+        (k, x, (mask & valid).astype(jnp.int32)), num_keys=2
+    )
+    first = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+
+    def _seg_add(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va + vb)
+
+    _, incl = lax.associative_scan(_seg_add, (first, sm))
+    excl = incl - sm
+    (scnt,) = _sort_back(sp, (excl,))
+    return jnp.where(valid, scnt, 0)

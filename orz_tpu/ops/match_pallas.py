@@ -56,7 +56,14 @@ def _lcp_w(xors):
     return lcp
 
 
-def _make_kernel(depth: int, n_arrays: int):
+def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
+                 ro_cap: int = RING):
+    """masked=True: the OTZ2 candidate loop (spec.py) — only rows whose
+    mask payload is 1 may be candidates (they are the previous parse's item
+    starts), rank_s is the MASKED in-context prefix count (so ro is a
+    start-rank estimate), and offsets are gated at ro_cap (the encoder's
+    search cap, OTZ2_RO_CAP) instead of RING."""
+
     def kernel(*refs):
         # refs: n_arrays block inputs, n_arrays halo rows, end scalar,
         #       3 outputs (bq, bro, blen)
@@ -67,11 +74,13 @@ def _make_kernel(depth: int, n_arrays: int):
         end = end_ref[0, 0]
 
         blk = pl.program_id(0)
-        fills = (-1, 0, 0) + (0,) * N_DW  # msk, msp, rank, dwords
+        # msk, msp, rank, dwords [, mask]
+        fills = (-1, 0, 0) + (0,) * N_DW + ((0,) if masked else ())
 
         cur = [r[:] for r in ins]
         msk, msp, rank_s = cur[0], cur[1], cur[2]
-        dw_s = cur[3:]
+        dw_s = cur[3 : 3 + N_DW]
+        mask_s = cur[3 + N_DW] if masked else None
 
         # one-row-down views, seeded with the previous tile's last row (the
         # XLA-loop fill values on the very first tile)
@@ -99,12 +108,21 @@ def _make_kernel(depth: int, n_arrays: int):
                 sh.append(jnp.where(lane < j, r_dwn, r_cur))
             mskj, mspj, rankj = sh[0], sh[1], sh[2]
             same = mskj == msk
-            ro = rank_s - 1 - rankj
-            ok = same & (ro < RING)
+            if masked:
+                # rank_s counts masked predecessors only; for a masked
+                # candidate q, rankj IS its start-rank (exclusive), so
+                # ro = scnt_now(p) - scnt_now(q) - 1 (oracle analyze_ref)
+                ro = rank_s - 1 - rankj
+                ok = same & (sh[3 + N_DW] == 1) & (ro < ro_cap)
+            else:
+                ro = rank_s - 1 - rankj
+                ok = same & (ro < RING)
             lcp = _lcp_w([sh[3 + t] ^ dw_s[t] for t in range(N_DW)])
             lcp = jnp.minimum(lcp, cap)
             ok = ok & (lcp >= min_match_len_for_ro(ro))
-            score = jnp.where(ok, lcp * 64 + (depth - j), -1)
+            # recency bonus must stay BELOW one lcp step (256 > any depth;
+            # 64 overflowed into the next lcp bucket at masked depth 96)
+            score = jnp.where(ok, lcp * 256 + (depth - j), -1)
             better = score > best_s  # strict: ties keep the more recent j
             best_s = jnp.maximum(best_s, score)
             best_q = jnp.where(better, mspj, best_q)
@@ -118,20 +136,29 @@ def _make_kernel(depth: int, n_arrays: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def match_depth_pallas(msk, msp, rank_s, dw_s, end, depth: int):
+@partial(jax.jit, static_argnames=("depth", "ro_cap"))
+def match_depth_pallas(msk, msp, rank_s, dw_s, end, depth: int,
+                       mask_s=None, ro_cap: int = RING):
     """(best_q_s, best_ro_s, best_len_s) over the sorted arrays.
 
     All inputs are n-length int32 in (mkey, pos)-sorted order; dw_s is a
     tuple of N_DW dword arrays (byte windows riding the sort as payload).
     Semantics match the XLA fori_loop they replace bit-for-bit.
+
+    mask_s (OTZ2): 0/1 start mask riding the sort; only mask==1 rows are
+    candidates, rank_s must hold MASKED prefix counts, and offsets gate at
+    ro_cap (spec.OTZ2_RO_CAP).  `depth` then counts sorted-space SHIFTS
+    (the masked window), not accepted candidates.
     """
+    assert 0 < depth < 128 and depth < 256  # roll reach / score packing
     n = msk.shape[0]
     blk_elems = ROWS * LANES
     n_blocks = -(-n // blk_elems)
     n_pad = n_blocks * blk_elems
 
     arrays = [msk, msp, rank_s] + [d.astype(jnp.int32) for d in dw_s]
+    if mask_s is not None:
+        arrays.append(mask_s.astype(jnp.int32))
     n_arrays = len(arrays)
     padded = []
     for a, x in enumerate(arrays):
@@ -149,7 +176,8 @@ def match_depth_pallas(msk, msp, rank_s, dw_s, end, depth: int):
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        _make_kernel(depth, n_arrays),
+        _make_kernel(depth, n_arrays, masked=mask_s is not None,
+                     ro_cap=ro_cap),
         interpret=jax.default_backend() != "tpu",
         grid=(n_blocks,),
         in_specs=[blk_spec] * n_arrays + [halo_spec] * n_arrays

@@ -121,10 +121,13 @@ def host_conform(buf, seg_len, cctx, start, kind, length, q_arr, window=96):
 
 def encode_fixpoint(data: bytes, iters: int, depth0=32, window=96,
                     chunk_input=rc.CHUNK_INPUT_DEFAULT, verbose=True,
-                    opt_parse=False):
+                    opt_parse=False, final_dp=False, taps=False,
+                    cap_at_mask=False):
     """opt_parse: use the price-based fence-block DP (tools/optparse_sim)
     instead of the lazy heuristic for every parse, with prices refreshed
-    from the previous iteration's items."""
+    from the previous iteration's items.  final_dp: lazy parses drive the
+    mask iterations (DP churn slows mask convergence, measured), then ONE
+    DP parse over the final masked analysis picks the emitted items."""
     buf = rc.pad_segment(data)
     n = len(data)
 
@@ -151,9 +154,33 @@ def encode_fixpoint(data: bytes, iters: int, depth0=32, window=96,
         mask = np.zeros(len(buf), dtype=bool)
         mask[walk[0]] = True
         an = rc.analyze_ref(buf, n, window, start_mask=mask)
+        if cap_at_mask:
+            # no item may CROSS a masked position: the final start set is
+            # then a superset of the mask, so every match target (masked by
+            # construction) is a final item start — membership repair
+            # vanishes (monotone splits only; merges need the repair path)
+            nxt = np.full(len(buf) + 1, len(buf), dtype=np.int64)
+            idxm = np.nonzero(mask)[0]
+            nxt[idxm] = idxm
+            np.minimum.accumulate(nxt[::-1], out=nxt[::-1])
+            pos = np.arange(len(buf), dtype=np.int64)
+            room = np.maximum(nxt[1:][pos.clip(0, len(buf) - 1)] - pos, 1)
+            an = rc.Analysis(
+                an.cctx, an.rank, an.pred, an.wordmatch & (room >= 2),
+                np.where(np.minimum(an.bestlen, room) >= LZ_MATCH_MIN_LEN,
+                         np.minimum(an.bestlen, room), 0),
+                an.bestro, an.bestq)
         walk = parse(an, prices)
         if opt_parse and k == iters - 2:
             prices = prices_of(an, walk)
+    if final_dp:
+        from tools.optparse_sim import optimal_parse, stream_prices
+        items_l = rc.parse_ref(an, buf, n, walk=walk)
+        _, _, perm = rc.census_ref(items_l.symbol[
+            (items_l.start - PAD_FRONT) // chunk_input == 0])
+        coded_l = rc.symrank_ref(items_l, perm)
+        walk = optimal_parse(an, buf, n, stream_prices(items_l, coded_l),
+                             rc.FENCE, taps=taps)
     start, kind, length = walk
     q_arr = np.where(kind == 2, an.bestq[start], 0)
     n_viol0 = None

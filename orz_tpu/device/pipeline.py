@@ -230,6 +230,63 @@ def encode_back_jit(items, chunk_input: int, c_max: int, r1_cap: int,
                           census_order, chunk_input, c_max)
 
 
+# --- OTZ2 (rings_mode=1) staged path ---------------------------------------
+#
+# The parse<->ring fixed point (spec.py OTZ2, docs/OTZ2_DESIGN.md) runs as
+# OTZ2_ITERS dispatches of ONE compiled iteration program (masked analyze ->
+# decisions -> walk), chained on device with no host sync; a final CONFORM
+# dispatch re-analyzes with the final start set as the mask, and the mid2
+# program re-targets/repairs/emits in item space (ops/otz2.py).  A repair
+# failure (ok=False) falls back to the OTZ1 (rings_mode=0) mid/back using
+# the retained front-0 outputs.
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def encode_iter2_jit(buf, seg_len, depth: int, starts_prev, n_items_prev):
+    from orz_tpu.ops.analyze import _analyze
+    from orz_tpu.ops.parse import pack_fields, walk_items
+
+    n = buf.shape[0]
+    m = starts_prev.shape[0]
+    valid = jnp.arange(m, dtype=jnp.int32) < n_items_prev
+    mask = jnp.zeros(n, bool).at[
+        jnp.where(valid, starts_prev, n)
+    ].set(True, mode="drop")
+    an = _analyze(buf, seg_len, depth, mask)
+    dec = decisions(an, seg_len, n)
+    starts, n_items = walk_items(dec, seg_len, n)
+    return starts, n_items, pack_fields(an, dec, buf)
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def encode_conform_jit(buf, seg_len, depth: int, starts, n_items):
+    from orz_tpu.ops.analyze import _analyze
+
+    n = buf.shape[0]
+    m = starts.shape[0]
+    valid = jnp.arange(m, dtype=jnp.int32) < n_items
+    mask = jnp.zeros(n, bool).at[
+        jnp.where(valid, starts, n)
+    ].set(True, mode="drop")
+    an2 = _analyze(buf, seg_len, depth, mask)
+    return an2.bestq, an2.bestlen
+
+
+@partial(jax.jit, static_argnames=("m2_cap",))
+def encode_mid2_jit(starts, n_items, pk1, bestq2, bestlen2, buf, seg_len,
+                    m2_cap: int):
+    from orz_tpu.ops.otz2 import conform_repair, emit_items2
+    from orz_tpu.ops.symrank_pallas import plan_stats
+
+    start, kind, length, q, rep0, ro, n2, ok = conform_repair(
+        starts[:m2_cap], n_items, pk1, bestq2, bestlen2, seg_len
+    )
+    items = emit_items2(start, kind, length, q, rep0, ro, n2, pk1, buf,
+                        seg_len)
+    r1, rounds = plan_stats(items.sr_ctx, items.n_items)
+    return items, ok, r1, rounds
+
+
 def dispatch_segment_front(data: bytes, level: int, chunk_input: int,
                            staged_buf=None):
     """Asynchronously dispatch the front program; returns opaque state.
@@ -287,6 +344,39 @@ def _bucket(n: int, lo: int, factor: int = 4) -> int:
     return cap
 
 
+def dispatch_segment_mid2(front):
+    """OTZ2 mid: chain OTZ2_ITERS masked-iteration dispatches (device-only,
+    no host syncs), the conform analysis, then the item-space
+    conform/repair/emit program.  Falls back to the OTZ1 mid when the
+    repair did not converge or overflowed its capacity bucket (the front-0
+    outputs are still live — nothing here donates them)."""
+    if front["empty"]:
+        return front
+    from orz_tpu.device.spec import OTZ2_ITERS, OTZ2_SHIFTS
+
+    starts, n_items, pk1, bestq0, bestro0, buf_d = front["front"]
+    seg_len = front["seg_len"]
+    st, ni = starts, n_items
+    for _ in range(OTZ2_ITERS):
+        st, ni, pk1 = encode_iter2_jit(buf_d, seg_len, OTZ2_SHIFTS, st, ni)
+    bq2, bl2 = encode_conform_jit(buf_d, seg_len, OTZ2_SHIFTS, st, ni)
+    ni_host = max(int(ni), 1)
+    m2_cap = _bucket(ni_host + max(ni_host // 4, 4096), 1 << 14, 2)
+    items, ok, r1, rounds = encode_mid2_jit(
+        st, ni, pk1, bq2, bl2, buf_d, seg_len, m2_cap
+    )
+    if not bool(ok):
+        out = dict(dispatch_segment_mid(front))
+        out["rings_mode"] = 0
+        return out
+    out = dict(front)
+    out["items"] = items
+    out["r1"] = r1
+    out["rounds"] = rounds
+    out["rings_mode"] = 1
+    return out
+
+
 def dispatch_segment_back(mid):
     """Sync the symrank plan scalars, dispatch the back program (async)."""
     from orz_tpu.ops.symrank_pallas import R_CAP_MAX, RB_BLK
@@ -306,7 +396,8 @@ def dispatch_segment_back(mid):
     rm_cap = _bucket(max(r - r1, 1), 4 * RB_BLK)
     out = encode_back_jit(mid["items"], mid["chunk_input"], mid["c_max"],
                           r1_cap, rm_cap)
-    return {"empty": False, "fallback": None, "out": out}
+    return {"empty": False, "fallback": None, "out": out,
+            "rings_mode": mid.get("rings_mode", 0)}
 
 
 def finish_segment(data: bytes, back, chunk_input: int) -> bytes:
@@ -321,15 +412,21 @@ def finish_segment(data: bytes, back, chunk_input: int) -> bytes:
     enc = BitEncoder()
     enc.encode_varint(len(data))
     enc.encode_varint(chunk_input)
-    return assemble_segment(enc, back["out"], len(data), chunk_input)
+    return assemble_segment(enc, back["out"], len(data), chunk_input,
+                            rings_mode=back.get("rings_mode", 0))
 
 
 def encode_segment_staged(
     data: bytes, level: int = 1, chunk_input: int = CHUNK_INPUT_DEFAULT
 ) -> bytes:
     """Device encode via the staged (Pallas symrank) path."""
+    from orz_tpu.device.spec import otz2_enabled
+
     front = dispatch_segment_front(data, level, chunk_input)
-    mid = dispatch_segment_mid(front)
+    if otz2_enabled(level):
+        mid = dispatch_segment_mid2(front)
+    else:
+        mid = dispatch_segment_mid(front)
     back = dispatch_segment_back(mid)
     return finish_segment(data, back, chunk_input)
 

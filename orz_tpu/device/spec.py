@@ -101,7 +101,10 @@ FENCE = 4096
 # header bit).  rep0 matches are exempt: the decoder resolves them from the
 # last match distance without touching the rings.
 OTZ2_SHIFTS = 96  # sorted-space shift window for the masked candidate loop
-OTZ2_ITERS = 2  # masked re-parses before emission (quality knob)
+OTZ2_ITERS = 6  # masked re-parses before emission (quality knob; measured
+# 256 KiB vs orz -l2: 4 -> 101.01%, 6 -> 100.35%, 8 -> 100.27%, and the
+# conform-analyze + vectorized repair emission matches the re-target repair
+# to 0.03 pt)
 OTZ2_REPAIR_PASSES = 6
 # Encoder-side reduced-offset cap for rings_mode=1 (the reference's ring
 # depth, src/lz.rs:24).  Measured (512 KiB synthetic text, depth 45): with
@@ -113,11 +116,13 @@ OTZ2_RO_CAP = 4094
 
 
 def otz2_enabled(level: int) -> bool:
-    # Off by default: measured end-to-end (60 KiB..4 MiB synthetic text),
-    # item-start rings alone do not yet beat OTZ1 — the conform/repair
-    # match-byte loss and residual offset cost outweigh the sparser ranks.
-    # The format support (header bit, decoders, oracle) stays, gated here.
-    return False
+    # Gated on OTZ2=1 while the device fixed-point path is being validated;
+    # flips to `level >= 2` once benched (item-start rings recover ~5 pt of
+    # ratio at 8 MiB: every-position rings cost ~1.6 extra offset bits per
+    # match, and the gap grows with segment size).
+    import os
+
+    return os.environ.get("OTZ2", "0") == "1" and level >= 2
 
 # price gate: far reduced offsets cost 11-13 raw bits, so a minimum match
 # length scales with offset distance (near orz's implicit pricing via its

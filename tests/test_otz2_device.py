@@ -1,0 +1,71 @@
+"""Device OTZ2 (rings_mode=1) fixed-point pipeline vs the sequential oracle.
+
+The device flow (pipeline.dispatch_segment_mid2) must be BYTE-IDENTICAL to
+the host flow built from oracle parts: OTZ2_ITERS masked analyze_ref +
+parse_walk iterations, a conform analysis at the final start set, and
+parse_ref(rings_mode=1) emission (conform + repair + emit).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import orz_tpu.device.refcodec as rc
+from orz_tpu.device.spec import OTZ2_ITERS, OTZ2_SHIFTS, candidate_depth
+from orz_tpu.golden.bitio import BitEncoder
+from tests.conftest import make_text_like
+
+
+def _oracle_otz2(data: bytes) -> bytes:
+    buf = rc.pad_segment(data)
+    n = len(data)
+    an = rc.analyze_ref(buf, n, candidate_depth(2))
+    walk = rc.parse_walk(an, buf, n)
+    for _ in range(OTZ2_ITERS):
+        mask = np.zeros(len(buf), dtype=bool)
+        mask[walk[0]] = True
+        an = rc.analyze_ref(buf, n, OTZ2_SHIFTS, start_mask=mask)
+        walk = rc.parse_walk(an, buf, n)
+    mask = np.zeros(len(buf), dtype=bool)
+    mask[walk[0]] = True
+    an2 = rc.analyze_ref(buf, n, OTZ2_SHIFTS, start_mask=mask)
+    items = rc.parse_ref(an2, buf, n, rings_mode=1, walk=walk)
+    assert items is not None
+    enc = BitEncoder()
+    enc.encode_varint(n)
+    enc.encode_varint(rc.CHUNK_INPUT_DEFAULT)
+    return rc._finish_segment_stream(enc, items, n, rc.CHUNK_INPUT_DEFAULT, 1)
+
+
+def test_otz2_device_stream_identical_and_roundtrip(monkeypatch, rng):
+    monkeypatch.setenv("OTZ2", "1")
+    from orz_tpu.device.pipeline import encode_segment_staged
+
+    data = make_text_like(rng, 96 * 1024)
+    s_dev = encode_segment_staged(data, level=2)
+    assert rc.decode_segment_ref(s_dev) == data
+    try:
+        from orz_tpu.native.otz import decode_segment_native
+
+        assert decode_segment_native(s_dev) == data
+    except (OSError, ImportError):
+        pass
+    s_ref = _oracle_otz2(data)
+    assert s_dev == s_ref
+
+
+def test_otz2_beats_otz1_on_text(monkeypatch, rng):
+    # enwik-like Zipf text (bench corpus): the case item-start rings are
+    # FOR; the short-range-repeat fixture favors dense rings instead
+    from bench import make_corpus
+
+    data = make_corpus(160 * 1024)
+    from orz_tpu.device.pipeline import encode_segment_staged
+
+    monkeypatch.setenv("OTZ2", "1")
+    s2 = encode_segment_staged(data, level=2)
+    monkeypatch.setenv("OTZ2", "0")
+    s1 = encode_segment_staged(data, level=2)
+    assert rc.decode_segment_ref(s2) == data
+    assert len(s2) < len(s1)

@@ -159,7 +159,8 @@ SCORE_W = 32
 
 
 def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
-                start_mask: np.ndarray | None = None) -> Analysis:
+                start_mask: np.ndarray | None = None,
+                words_mode: int = 0) -> Analysis:
     """Sequential per-position analysis (the oracle for ops/analyze.py).
 
     start_mask (OTZ2, spec.py): candidates are restricted to positions in
@@ -168,7 +169,13 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
     START-RANK ESTIMATE over the mask (number of masked same-context
     positions strictly between q and p) — the final-item start rank differs
     from it only by demoted literals, and emission recomputes the exact
-    value (parse_ref rings_mode=1)."""
+    value (parse_ref rings_mode=1).
+
+    words_mode=1 (requires start_mask): word-table updates happen only at
+    mask positions s (the previous parse's item starts, approximating the
+    decoder's item-end rule: the decoder additionally skips updates after
+    WORD items — emission validates word items against the exact final
+    state and demotes mismatches)."""
     n = len(buf)
     end = PAD_FRONT + seg_len
     cctx = cctx_all(buf)
@@ -187,11 +194,22 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
     words = np.zeros(WORD_TABLE_SIZE, dtype=np.int64)
     chains: dict = {}
 
+    mask_starts = (np.nonzero(start_mask)[0]
+                   if (words_mode and start_mask is not None) else None)
+    next_ms = 0
     for p in range(PAD_FRONT, end):
-        # word update for u = p-3 becomes visible now
-        u = p - 3
-        if u >= PAD_FRONT:
-            words[h2[u]] = int(buf[u + 1]) | int(buf[u + 2]) << 8
+        if mask_starts is None:
+            # word update for u = p-3 becomes visible now
+            u = p - 3
+            if u >= PAD_FRONT:
+                words[h2[u]] = int(buf[u + 1]) | int(buf[u + 2]) << 8
+        else:
+            # words_mode=1: one update per mask start s <= p, at u = s-3
+            while next_ms < len(mask_starts) and mask_starts[next_ms] <= p:
+                u = int(mask_starts[next_ms]) - 3
+                if u >= PAD_FRONT - 2:
+                    words[h2[u]] = int(buf[u + 1]) | int(buf[u + 2]) << 8
+                next_ms += 1
         pred[p] = words[h2[p - 1]]
         rank[p] = ctx_count[cctx[p]]
 
@@ -400,15 +418,39 @@ def repair_items(an: Analysis, start, kind, length, q):
     return None
 
 
+def _words1_pred_at_items(buf, h2, start, kind, length):
+    """The decoder's words_mode=1 prediction at each item start: the word
+    table updates once per ITEM END (key h2(end-3)), skipping ends of WORD
+    items — refcodec decode / csrc/otz_core.cpp words_flag=1."""
+    words = np.zeros(WORD_TABLE_SIZE, dtype=np.int64)
+    m = len(start)
+    pred = np.zeros(m, dtype=np.int64)
+    for i in range(m):
+        s = int(start[i])
+        pred[i] = words[h2[s - 1]]
+        if kind[i] != 1:
+            u = s + int(length[i]) - 3
+            words[h2[u]] = int(buf[u + 1]) | int(buf[u + 2]) << 8
+    return pred
+
+
 def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int,
-              rings_mode: int = 0, walk=None) -> Items | None:
+              rings_mode: int = 0, walk=None,
+              words_mode: int = 0) -> Items | None:
     """Sequential parse + item emission (the oracle for ops/parse.py).
 
     rings_mode=1 (OTZ2): `an` must be a masked analyze_ref pass whose mask
     is exactly the start set of `walk` (the boundaries being emitted);
     conform_items re-targets matches onto masked candidates, then demotion
     repair makes reduced offsets exact start ranks.  Returns None when
-    repair does not converge (fall back to rings_mode=0)."""
+    repair does not converge (fall back to rings_mode=0).
+
+    words_mode=1 (requires rings_mode=1): word items are VALIDATED against
+    the decoder's exact item-end word state (the parse chose them under the
+    mask approximation); mismatches demote to literals, which changes item
+    ends, so validation and offset repair iterate to a joint fixed point
+    (both only add starts — monotone).  sr_unlikely comes from the same
+    exact state."""
     end = PAD_FRONT + seg_len
     start, kind, length = walk if walk is not None else parse_walk(an, buf, seg_len)
 
@@ -418,6 +460,28 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int,
         if rep is None:
             return None
         start, kind, length, q_arr, ro_exact, rep0 = rep
+        if words_mode:
+            h2 = h2_all(buf)
+            for _ in range(16):
+                predi = _words1_pred_at_items(buf, h2, start, kind, length)
+                pair = (buf[start].astype(np.int64)
+                        | buf[np.minimum(start + 1, len(buf) - 1)].astype(np.int64) << 8)
+                bad = (kind == 1) & (predi != pair)
+                if not bad.any():
+                    break
+                start, kind, length, q_arr = _demote_spans(
+                    start, kind, length, q_arr, bad)
+                rep = repair_items(an, start, kind, length, q_arr)
+                if rep is None:
+                    return None
+                start, kind, length, q_arr, ro_exact, rep0 = rep
+            else:
+                return None
+            pred_n = np.zeros(len(buf), dtype=np.int64)
+            pred_n[start] = predi if not bad.any() else \
+                _words1_pred_at_items(buf, h2, start, kind, length)
+            return _emit_items(an.cctx, pred_n, buf, seg_len, start, kind,
+                               length, q_arr, ro_exact, rep0)
         ro = ro_exact
     else:
         q_arr = np.where(kind == 2, an.bestq[start], 0)

@@ -252,7 +252,7 @@ def encode_iter2_jit(buf, seg_len, depth: int, starts_prev, n_items_prev):
     mask = jnp.zeros(n, bool).at[
         jnp.where(valid, starts_prev, n)
     ].set(True, mode="drop")
-    an = _analyze(buf, seg_len, depth, mask)
+    an = _analyze(buf, seg_len, depth, mask, words_mode=True)
     dec = decisions(an, seg_len, n)
     starts, n_items = walk_items(dec, seg_len, n)
     return starts, n_items, pack_fields(an, dec, buf)
@@ -268,7 +268,7 @@ def encode_conform_jit(buf, seg_len, depth: int, starts, n_items):
     mask = jnp.zeros(n, bool).at[
         jnp.where(valid, starts, n)
     ].set(True, mode="drop")
-    an2 = _analyze(buf, seg_len, depth, mask)
+    an2 = _analyze(buf, seg_len, depth, mask, words_mode=True)
     return an2.bestq, an2.bestlen
 
 
@@ -278,11 +278,12 @@ def encode_mid2_jit(starts, n_items, pk1, bestq2, bestlen2, buf, seg_len,
     from orz_tpu.ops.otz2 import conform_repair, emit_items2
     from orz_tpu.ops.symrank_pallas import plan_stats
 
-    start, kind, length, q, rep0, ro, n2, ok = conform_repair(
-        starts[:m2_cap], n_items, pk1, bestq2, bestlen2, seg_len
+    start, kind, length, q, rep0, ro, predi, n2, ok = conform_repair(
+        starts[:m2_cap], n_items, pk1, bestq2, bestlen2, buf, seg_len,
+        words_mode=True,
     )
     items = emit_items2(start, kind, length, q, rep0, ro, n2, pk1, buf,
-                        seg_len)
+                        seg_len, predi=predi)
     r1, rounds = plan_stats(items.sr_ctx, items.n_items)
     return items, ok, r1, rounds
 
@@ -486,7 +487,9 @@ def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input
 
     enc.encode_raw_bits(pred_len, 1)  # prediction flag
     enc.encode_raw_bits(rings_mode, 1)  # ring insertion rule (spec.py OTZ2)
-    enc.encode_raw_bits(0, 1)  # words_mode (refcodec header): device=0 yet
+    # word-table update rule (refcodec header): OTZ2 couples item-end
+    # word sampling with item-start rings; OTZ1 keeps the bytes-only rule
+    enc.encode_raw_bits(rings_mode, 1)
     enc.encode_varint(num_counted)
     for s in order[:num_counted]:
         enc.encode_raw_bits(int(s), 9)

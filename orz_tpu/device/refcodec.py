@@ -456,32 +456,48 @@ def parse_ref(an: Analysis, buf: np.ndarray, seg_len: int,
 
     if rings_mode:
         start, kind, length, q_arr = conform_items(an, start, kind, length)
+        if words_mode:
+            # combined per-pass schedule (MUST match ops/otz2.conform_repair
+            # demotion-for-demotion: word validity is not monotone under
+            # added starts, so the schedule is part of the device contract):
+            # each pass demotes offset violations AND word-prediction
+            # mismatches together.
+            from orz_tpu.device.spec import OTZ2_REPAIR_PASSES
+
+            h2 = h2_all(buf)
+
+            def _viol(start, kind, length, q_arr):
+                _, _, rep0 = _rep0_flags(start, kind, q_arr)
+                srank = _start_ranks(start, an.cctx)
+                idx = np.searchsorted(start, q_arr)
+                idxc = np.minimum(idx, max(len(start) - 1, 0))
+                q_is_start = (kind == 2) & (len(start) > 0) & (start[idxc] == q_arr)
+                ro = np.where(q_is_start, srank - srank[idxc] - 1, 0)
+                viol = (kind == 2) & ~rep0 & (~q_is_start | (ro >= RING))
+                predi = _words1_pred_at_items(buf, h2, start, kind, length)
+                pair = (buf[start].astype(np.int64)
+                        | buf[np.minimum(start + 1, len(buf) - 1)].astype(np.int64) << 8)
+                viol |= (kind == 1) & (predi != pair)
+                ro_ex = np.where((kind == 2) & ~rep0 & q_is_start, ro, 0)
+                return viol, rep0, ro_ex, predi
+
+            for _ in range(OTZ2_REPAIR_PASSES):
+                viol, rep0, ro_exact, predi = _viol(start, kind, length, q_arr)
+                if not viol.any():
+                    break
+                start, kind, length, q_arr = _demote_spans(
+                    start, kind, length, q_arr, viol)
+            viol, rep0, ro_exact, predi = _viol(start, kind, length, q_arr)
+            if viol.any():
+                return None
+            pred_n = np.zeros(len(buf), dtype=np.int64)
+            pred_n[start] = predi
+            return _emit_items(an.cctx, pred_n, buf, seg_len, start, kind,
+                               length, q_arr, ro_exact, rep0)
         rep = repair_items(an, start, kind, length, q_arr)
         if rep is None:
             return None
         start, kind, length, q_arr, ro_exact, rep0 = rep
-        if words_mode:
-            h2 = h2_all(buf)
-            for _ in range(16):
-                predi = _words1_pred_at_items(buf, h2, start, kind, length)
-                pair = (buf[start].astype(np.int64)
-                        | buf[np.minimum(start + 1, len(buf) - 1)].astype(np.int64) << 8)
-                bad = (kind == 1) & (predi != pair)
-                if not bad.any():
-                    break
-                start, kind, length, q_arr = _demote_spans(
-                    start, kind, length, q_arr, bad)
-                rep = repair_items(an, start, kind, length, q_arr)
-                if rep is None:
-                    return None
-                start, kind, length, q_arr, ro_exact, rep0 = rep
-            else:
-                return None
-            pred_n = np.zeros(len(buf), dtype=np.int64)
-            pred_n[start] = predi if not bad.any() else \
-                _words1_pred_at_items(buf, h2, start, kind, length)
-            return _emit_items(an.cctx, pred_n, buf, seg_len, start, kind,
-                               length, q_arr, ro_exact, rep0)
         ro = ro_exact
     else:
         q_arr = np.where(kind == 2, an.bestq[start], 0)

@@ -105,7 +105,7 @@ OTZ2_ITERS = 6  # masked re-parses before emission (quality knob; measured
 # 256 KiB vs orz -l2: 4 -> 101.01%, 6 -> 100.35%, 8 -> 100.27%, and the
 # conform-analyze + vectorized repair emission matches the re-target repair
 # to 0.03 pt)
-OTZ2_REPAIR_PASSES = 6
+OTZ2_REPAIR_PASSES = 6  # combined offset+word-validation demotion passes
 # Encoder-side reduced-offset cap for rings_mode=1 (the reference's ring
 # depth, src/lz.rs:24).  Measured (512 KiB synthetic text, depth 45): with
 # item-start rings AND this cap the offset economics match orz exactly

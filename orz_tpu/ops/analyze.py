@@ -144,6 +144,64 @@ def word_predictions(ba: ByteArrays, buf: jnp.ndarray, end: jnp.ndarray) -> jnp.
     return jnp.where((p >= PAD_FRONT) & (p < end), pred, 0)
 
 
+def word_predictions_masked(ba: ByteArrays, buf: jnp.ndarray,
+                            end: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """words_mode=1 predictions under a start mask (oracle analyze_ref
+    words_mode=1): the table updates only at u = s-3 for mask starts s, so
+    pred[p] is the value of the LAST masked same-key u <= p-3.  The plain
+    version's fixed 1-2-row lookback becomes a segmented newest-3 trail
+    (rows u = p-1 and p-2 may be masked but are not yet visible)."""
+    n = buf.shape[0]
+    x = jnp.arange(n, dtype=jnp.int32)
+    valid_x = (x >= PAD_FRONT - 1) & (x < end)
+    b = buf.astype(jnp.int32)
+    val_at = _shift_left(b, 1) | _shift_left(b, 2) << 8
+
+    upd_ok = (x >= PAD_FRONT - 2) & (x < end) & _shift_left(mask, 3)
+    upd = jnp.where(upd_ok, 1, 0).astype(jnp.int32)
+    k = jnp.where(valid_x | upd_ok, ba.h2, jnp.int32(0x7FFFFFFF))
+    sk, sp, sval, supd = lax.sort((k, x, val_at, upd), num_keys=2)
+    first = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+
+    neg = jnp.full(n, -1, jnp.int32)
+    zero = jnp.zeros(n, jnp.int32)
+    leaf_u = jnp.where(supd == 1, sp, -1)
+    leaf_v = jnp.where(supd == 1, sval, 0)
+
+    def op(l, r):
+        fl, l1u, l1v, l2u, l2v, l3u, l3v = l
+        fr, r1u, r1v, r2u, r2v, r3u, r3v = r
+        c1 = r1u >= 0
+        c2 = r2u >= 0
+        c3 = r3u >= 0
+        m1u = jnp.where(c1, r1u, l1u)
+        m1v = jnp.where(c1, r1v, l1v)
+        m2u = jnp.where(c2, r2u, jnp.where(c1, l1u, l2u))
+        m2v = jnp.where(c2, r2v, jnp.where(c1, l1v, l2v))
+        m3u = jnp.where(c3, r3u, jnp.where(c2, l1u, jnp.where(c1, l2u, l3u)))
+        m3v = jnp.where(c3, r3v, jnp.where(c2, l1v, jnp.where(c1, l2v, l3v)))
+        return (
+            fl | fr,
+            jnp.where(fr, r1u, m1u), jnp.where(fr, r1v, m1v),
+            jnp.where(fr, r2u, m2u), jnp.where(fr, r2v, m2v),
+            jnp.where(fr, r3u, m3u), jnp.where(fr, r3v, m3v),
+        )
+
+    _, u1, v1, u2, v2, u3, v3 = lax.associative_scan(
+        op, (first, leaf_u, leaf_v, neg, zero, neg, zero)
+    )
+    lim = sp - 2  # u <= x-2 (update at s visible from p >= s; x = p-1)
+    pred_s = jnp.where(
+        u1 <= lim, jnp.where(u1 >= 0, v1, 0),
+        jnp.where(u2 <= lim, jnp.where(u2 >= 0, v2, 0),
+                  jnp.where((u3 <= lim) & (u3 >= 0), v3, 0)),
+    )
+    (pred_at_x,) = _sort_back(sp, (pred_s,))
+    pred = _shift_right(pred_at_x, 1)
+    p = jnp.arange(n, dtype=jnp.int32)
+    return jnp.where((p >= PAD_FRONT) & (p < end), pred, 0)
+
+
 def context_ranks(ba: ByteArrays, valid: jnp.ndarray) -> jnp.ndarray:
     """rank[p] = number of valid positions q < p with cctx(q) == cctx(p)."""
     n = ba.cctx.shape[0]
@@ -192,7 +250,7 @@ def _lcp_round(dw, qb, pb, width):
 
 
 def _analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
-             mask: jnp.ndarray | None) -> Analysis:
+             mask: jnp.ndarray | None, words_mode: bool = False) -> Analysis:
     """Full phase-1 analysis of one padded segment (jit, static depth).
 
     mask (OTZ2, spec.py): when given, candidates are restricted to masked
@@ -215,7 +273,10 @@ def _analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
     valid = (p >= PAD_FRONT) & (p < end)
 
     ba = byte_arrays(buf)
-    pred = word_predictions(ba, buf, end)
+    if words_mode:
+        pred = word_predictions_masked(ba, buf, end, mask)
+    else:
+        pred = word_predictions(ba, buf, end)
     b = buf.astype(jnp.int32)
     cur_word = b | _shift_left(b, 1) << 8
     wordmatch = cur_word == pred
@@ -388,11 +449,11 @@ def analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int) -> Analysis:
     return _analyze(buf, seg_len, depth, None)
 
 
-@partial(jax.jit, static_argnames=("depth",))
+@partial(jax.jit, static_argnames=("depth", "words_mode"))
 def analyze_masked(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
-                   mask: jnp.ndarray) -> Analysis:
+                   mask: jnp.ndarray, words_mode: bool = False) -> Analysis:
     """OTZ2 masked analysis (see _analyze; oracle analyze_ref start_mask)."""
-    return _analyze(buf, seg_len, depth, mask)
+    return _analyze(buf, seg_len, depth, mask, words_mode)
 
 
 def masked_context_counts(ba: ByteArrays, valid: jnp.ndarray,

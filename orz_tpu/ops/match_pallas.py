@@ -100,7 +100,8 @@ def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
         best_ro = jnp.zeros((ROWS, LANES), jnp.int32)
         best_len = jnp.zeros((ROWS, LANES), jnp.int32)
 
-        for j in range(1, depth + 1):  # static unroll: static roll amounts
+        def round_j(j, carry):
+            best_s, best_q, best_ro, best_len = carry
             sh = []
             for a in range(n_arrays):
                 r_cur = pltpu.roll(cur[a], j, 1)
@@ -124,10 +125,25 @@ def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
             # 64 overflowed into the next lcp bucket at masked depth 96)
             score = jnp.where(ok, lcp * 256 + (depth - j), -1)
             better = score > best_s  # strict: ties keep the more recent j
-            best_s = jnp.maximum(best_s, score)
-            best_q = jnp.where(better, mspj, best_q)
-            best_ro = jnp.where(better, ro, best_ro)
-            best_len = jnp.where(better, lcp, best_len)
+            return (
+                jnp.maximum(best_s, score),
+                jnp.where(better, mspj, best_q),
+                jnp.where(better, ro, best_ro),
+                jnp.where(better, lcp, best_len),
+            )
+
+        carry = (best_s, best_q, best_ro, best_len)
+        if depth <= 32:
+            # static unroll: constant roll amounts compile to the leanest
+            # code and this is the hot OTZ1 path
+            for j in range(1, depth + 1):
+                carry = round_j(j, carry)
+        else:
+            # dynamic-shift rounds: the 96-shift masked window unrolled to
+            # a Mosaic program that took >25 min to compile at the 8 MiB
+            # bucket; a fori_loop with dynamic rotates compiles in seconds
+            carry = lax.fori_loop(1, depth + 1, round_j, carry)
+        _, best_q, best_ro, best_len = carry
 
         bq_ref[:] = best_q
         bro_ref[:] = best_ro

@@ -116,6 +116,58 @@ def _ranks_and_membership(start, kind, q, cctx_all_pk, n_items):
     return srank, hit, ro, cand
 
 
+def _h2_at(pk1, buf, x):
+    """h2 key at positions x (cctx rides pk1; the byte comes from buf)."""
+    cctx = (pk1[x] >> 10) & 0xFF
+    return (buf[x].astype(jnp.int32) & 0x7F) | (cctx << 7)
+
+
+def _pred_at_items(start, kind, length, pk1, buf, n_items):
+    """The decoder's words_mode=1 word prediction at each item start: the
+    table updates once per item END (key h2(e-3), value bytes e-2..e-1),
+    skipping WORD items' ends (oracle _words1_pred_at_items)."""
+    mc = start.shape[0]
+    n = buf.shape[0]
+    idx = jnp.arange(mc, dtype=jnp.int32)
+    valid = idx < n_items
+    s = jnp.where(valid, start, 0)
+    e = jnp.clip(s + length, 0, n - 1)
+
+    ukey = jnp.where(valid & (kind != 1), _h2_at(pk1, buf, e - 3),
+                     jnp.int32(0x7FFFFFFF))
+    uval = (buf[jnp.clip(e - 2, 0, n - 1)].astype(jnp.int32)
+            | buf[jnp.clip(e - 1, 0, n - 1)].astype(jnp.int32) << 8)
+    qkey = jnp.where(valid, _h2_at(pk1, buf, jnp.maximum(s - 1, 0)),
+                     jnp.int32(0x7FFFFFFF))
+
+    # merge updates (at position e, first at equal pos) and queries (at s):
+    # packed second key (pos << 1 | role) keeps one 2-key sort
+    upos = jnp.where(valid & (kind != 1), e, jnp.int32(0x3FFFFFFF))
+    key2 = jnp.concatenate([(upos << 1), (s << 1) | 1])
+    key1 = jnp.concatenate([ukey, qkey])
+    pay = jnp.concatenate([uval, idx])  # update value / query's item index
+    k1, k2, p_ = lax.sort((key1, key2, pay), num_keys=2)
+    is_q = (k2 & 1) == 1
+    first = jnp.concatenate([jnp.ones(1, bool), k1[1:] != k1[:-1]])
+
+    def op(a, b):
+        fa, ha, va = a
+        fb, hb, vb = b
+        return (
+            fa | fb,
+            jnp.where(fb, hb, ha | hb),
+            jnp.where(fb, vb, jnp.where(hb == 1, vb, va)),
+        )
+
+    has = jnp.where(is_q, 0, 1)
+    _, hasv, lastv = lax.associative_scan(
+        op, (first, has, jnp.where(is_q, 0, p_))
+    )
+    val = jnp.where(hasv == 1, lastv, 0)  # no update yet in group: 0
+    qslot = jnp.where(is_q, p_, mc)
+    return jnp.zeros(mc + 1, jnp.int32).at[qslot].max(val, mode="drop")[:mc]
+
+
 def _rep0(start, kind, q, n_items):
     mc = start.shape[0]
     idx = jnp.arange(mc, dtype=jnp.int32)
@@ -130,18 +182,26 @@ def _rep0(start, kind, q, n_items):
     return is_m & (dist == prev_dist) & (prev_dist > 0)
 
 
-def conform_repair(starts, n_items, pk1, bestq2, bestlen2, seg_len,
-                   repair_passes: int = 6):
+def conform_repair(starts, n_items, pk1, bestq2, bestlen2, buf, seg_len,
+                   repair_passes: int = 6, words_mode: bool = False):
     """Device conform + repair (see module docstring).
 
     starts: (m2_cap,) the final walk's item starts (stream order).
     pk1: (n,) packed per-position fields (ops/parse.pack_fields).
     bestq2/bestlen2: (n,) the CONFORM analysis (masked by these starts).
 
-    Returns (start, kind, length, q, rep0, ro, n_items2, ok): final item
-    arrays at the same capacity, exact reduced offsets, and ok=False when
-    capacity overflowed or violations survived the repair passes (caller
-    falls back to rings_mode=0)."""
+    words_mode: each repair pass ALSO validates word items against the
+    decoder's exact item-end word state (demotions change item ends, so
+    offset and word violations iterate to a joint fixed point — both only
+    add starts; word validity itself is not monotone, so the combined
+    per-pass demotion schedule is part of the oracle contract,
+    refcodec.parse_ref words_mode=1).
+
+    Returns (start, kind, length, q, rep0, ro, predi, n_items2, ok): final
+    item arrays at the same capacity, exact reduced offsets, the exact
+    word predictions per item (words_mode only; zeros otherwise), and
+    ok=False when capacity overflowed or violations survived the passes
+    (caller falls back to rings_mode=0)."""
     mc = starts.shape[0]
     idx = jnp.arange(mc, dtype=jnp.int32)
     valid = idx < n_items
@@ -170,13 +230,25 @@ def conform_repair(starts, n_items, pk1, bestq2, bestlen2, seg_len,
     )
     ok = n2 <= mc
 
-    def pass_body(state):
-        start, kind, length, q, n2, ok, _ = state
+    n = buf.shape[0]
+
+    def violations(start, kind, length, q, n2):
         rep0 = _rep0(start, kind, q, n2)
         srank, hit, ro, _ = _ranks_and_membership(start, kind, q, pk1, n2)
-        viol = (kind == 2) & (jnp.arange(mc) < n2) & ~rep0 & (
-            ~hit | (ro >= RING)
-        )
+        live = jnp.arange(mc, dtype=jnp.int32) < n2
+        viol = (kind == 2) & live & ~rep0 & (~hit | (ro >= RING))
+        predi = jnp.zeros(mc, jnp.int32)
+        if words_mode:
+            predi = _pred_at_items(start, kind, length, pk1, buf, n2)
+            sc = jnp.where(live, start, 0)
+            pair = (buf[sc].astype(jnp.int32)
+                    | buf[jnp.clip(sc + 1, 0, n - 1)].astype(jnp.int32) << 8)
+            viol = viol | ((kind == 1) & live & (predi != pair))
+        return viol, rep0, hit, ro, predi
+
+    def pass_body(state):
+        start, kind, length, q, n2, ok, _ = state
+        viol, _, _, _, _ = violations(start, kind, length, q, n2)
         any_viol = viol.any()
 
         def do_demote(args):
@@ -203,19 +275,19 @@ def conform_repair(starts, n_items, pk1, bestq2, bestlen2, seg_len,
     start, kind, length, q, n2, ok, _ = state
 
     # final exactness check + fields
-    rep0 = _rep0(start, kind, q, n2)
-    srank, hit, ro, _ = _ranks_and_membership(start, kind, q, pk1, n2)
-    resid = (kind == 2) & (jnp.arange(mc) < n2) & ~rep0 & (~hit | (ro >= RING))
+    resid, rep0, hit, ro, predi = violations(start, kind, length, q, n2)
     ok = ok & ~resid.any()
     ro = jnp.where((kind == 2) & ~rep0 & hit, ro, 0)
-    return start, kind, length, q, rep0, ro, n2, ok
+    return start, kind, length, q, rep0, ro, predi, n2, ok
 
 
 def emit_items2(start, kind, length, q, rep0, ro, n_items, pk1, buf,
-                seg_len) -> Items:
+                seg_len, predi=None) -> Items:
     """Item emission from repaired OTZ2 arrays (oracle _emit_items with
     rings_mode=1 reduced offsets).  Shares the length-prediction rules with
-    ops/parse.build_items."""
+    ops/parse.build_items.  predi (words_mode=1): the decoder-exact word
+    predictions per item — sr_unlikely must come from them, not from the
+    analysis's mask-approximate model."""
     mc = start.shape[0]
     n = pk1.shape[0]
     end = PAD_FRONT + seg_len
@@ -224,7 +296,7 @@ def emit_items2(start, kind, length, q, rep0, ro, n_items, pk1, buf,
     startc = jnp.where(valid, start, 0)
     f = pk1[startc]
     cctx = (f >> 10) & 0xFF
-    pred8 = (f >> 18) & 0xFF
+    pred8 = (f >> 18) & 0xFF if predi is None else predi & 0xFF
     kind = jnp.where(valid, kind, 0)
     is_match = kind == 2
 

@@ -25,17 +25,19 @@ def _oracle_otz2(data: bytes) -> bytes:
     for _ in range(OTZ2_ITERS):
         mask = np.zeros(len(buf), dtype=bool)
         mask[walk[0]] = True
-        an = rc.analyze_ref(buf, n, OTZ2_SHIFTS, start_mask=mask)
+        an = rc.analyze_ref(buf, n, OTZ2_SHIFTS, start_mask=mask,
+                            words_mode=1)
         walk = rc.parse_walk(an, buf, n)
     mask = np.zeros(len(buf), dtype=bool)
     mask[walk[0]] = True
-    an2 = rc.analyze_ref(buf, n, OTZ2_SHIFTS, start_mask=mask)
-    items = rc.parse_ref(an2, buf, n, rings_mode=1, walk=walk)
+    an2 = rc.analyze_ref(buf, n, OTZ2_SHIFTS, start_mask=mask, words_mode=1)
+    items = rc.parse_ref(an2, buf, n, rings_mode=1, walk=walk, words_mode=1)
     assert items is not None
     enc = BitEncoder()
     enc.encode_varint(n)
     enc.encode_varint(rc.CHUNK_INPUT_DEFAULT)
-    return rc._finish_segment_stream(enc, items, n, rc.CHUNK_INPUT_DEFAULT, 1)
+    return rc._finish_segment_stream(enc, items, n, rc.CHUNK_INPUT_DEFAULT,
+                                     1, 1)
 
 
 def test_otz2_device_stream_identical_and_roundtrip(monkeypatch, rng):

@@ -241,8 +241,16 @@ def encode_back_jit(items, chunk_input: int, c_max: int, r1_cap: int,
 # the retained front-0 outputs.
 
 
+@jax.jit
+def masked_plan_jit(buf, seg_len):
+    from orz_tpu.ops.analyze import masked_plan
+
+    return masked_plan(buf, seg_len)
+
+
 @partial(jax.jit, static_argnames=("depth",))
-def encode_iter2_jit(buf, seg_len, depth: int, starts_prev, n_items_prev):
+def encode_iter2_jit(buf, seg_len, depth: int, starts_prev, n_items_prev,
+                     plan=None):
     from orz_tpu.ops.analyze import _analyze
     from orz_tpu.ops.parse import pack_fields, walk_items
 
@@ -252,14 +260,14 @@ def encode_iter2_jit(buf, seg_len, depth: int, starts_prev, n_items_prev):
     mask = jnp.zeros(n, bool).at[
         jnp.where(valid, starts_prev, n)
     ].set(True, mode="drop")
-    an = _analyze(buf, seg_len, depth, mask, words_mode=True)
+    an = _analyze(buf, seg_len, depth, mask, words_mode=True, plan=plan)
     dec = decisions(an, seg_len, n)
     starts, n_items = walk_items(dec, seg_len, n)
     return starts, n_items, pack_fields(an, dec, buf)
 
 
 @partial(jax.jit, static_argnames=("depth",))
-def encode_conform_jit(buf, seg_len, depth: int, starts, n_items):
+def encode_conform_jit(buf, seg_len, depth: int, starts, n_items, plan=None):
     from orz_tpu.ops.analyze import _analyze
 
     n = buf.shape[0]
@@ -268,7 +276,7 @@ def encode_conform_jit(buf, seg_len, depth: int, starts, n_items):
     mask = jnp.zeros(n, bool).at[
         jnp.where(valid, starts, n)
     ].set(True, mode="drop")
-    an2 = _analyze(buf, seg_len, depth, mask, words_mode=True)
+    an2 = _analyze(buf, seg_len, depth, mask, words_mode=True, plan=plan)
     return an2.bestq, an2.bestlen
 
 
@@ -357,10 +365,13 @@ def dispatch_segment_mid2(front):
 
     starts, n_items, pk1, bestq0, bestro0, buf_d = front["front"]
     seg_len = front["seg_len"]
+    plan = masked_plan_jit(buf_d, seg_len)
     st, ni = starts, n_items
     for _ in range(OTZ2_ITERS):
-        st, ni, pk1 = encode_iter2_jit(buf_d, seg_len, OTZ2_SHIFTS, st, ni)
-    bq2, bl2 = encode_conform_jit(buf_d, seg_len, OTZ2_SHIFTS, st, ni)
+        st, ni, pk1 = encode_iter2_jit(buf_d, seg_len, OTZ2_SHIFTS, st, ni,
+                                       plan)
+    bq2, bl2 = encode_conform_jit(buf_d, seg_len, OTZ2_SHIFTS, st, ni, plan)
+    del plan  # ~18 n-sized arrays; free before the back program runs
     ni_host = max(int(ni), 1)
     m2_cap = _bucket(ni_host + max(ni_host // 4, 4096), 1 << 14, 2)
     items, ok, r1, rounds = encode_mid2_jit(

@@ -100,8 +100,12 @@ FENCE = 4096
 # OTZ2_REPAIR_PASSES falls back to rings_mode=0 (always legal, per-segment
 # header bit).  rep0 matches are exempt: the decoder resolves them from the
 # last match distance without touching the rings.
-OTZ2_SHIFTS = 96  # sorted-space shift window for the masked candidate loop
-OTZ2_ITERS = 6  # masked re-parses before emission (quality knob; measured
+import os as _os_otz2
+
+OTZ2_SHIFTS = int(_os_otz2.environ.get("OTZ2_SHIFTS", "96"))
+# sorted-space shift window for the masked candidate loop
+OTZ2_ITERS = int(_os_otz2.environ.get("OTZ2_ITERS", "6"))
+# masked re-parses before emission (quality knob; measured
 # 256 KiB vs orz -l2: 4 -> 101.01%, 6 -> 100.35%, 8 -> 100.27%, and the
 # conform-analyze + vectorized repair emission matches the re-target repair
 # to 0.03 pt)

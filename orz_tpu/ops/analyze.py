@@ -144,6 +144,73 @@ def word_predictions(ba: ByteArrays, buf: jnp.ndarray, end: jnp.ndarray) -> jnp.
     return jnp.where((p >= PAD_FRONT) & (p < end), pred, 0)
 
 
+class MaskedPlan(NamedTuple):
+    """Per-segment sorted-space layouts reused across OTZ2 iterations.
+
+    Every sort key in the masked analysis is a pure function of `buf`
+    (h2/cctx/mkey and positions), so the expensive multi-payload sorts are
+    computed ONCE per segment; each iteration then moves only its
+    mask-derived payloads into the fixed layouts via `dest_*` permutation
+    sorts (2-3 arrays instead of 12)."""
+
+    # h2 (word-model) sort over rows x in [PAD_FRONT-2, end)
+    sp_h2: jnp.ndarray  # sorted x
+    sval_h2: jnp.ndarray  # sorted (b[x+1], b[x+2]) value
+    first_h2: jnp.ndarray  # bool group starts
+    dest_h2: jnp.ndarray  # position -> sorted slot (permutation key)
+    # (cctx, x) sort over valid rows
+    sp_ctx: jnp.ndarray
+    first_ctx: jnp.ndarray
+    dest_ctx: jnp.ndarray
+    # (mkey, p) candidate sort
+    msk: jnp.ndarray
+    msp: jnp.ndarray
+    dw_s: tuple  # N_DW sorted dword arrays (uint32)
+    dest_cand: jnp.ndarray
+
+
+def _inverse_perm(sp: jnp.ndarray) -> jnp.ndarray:
+    n = sp.shape[0]
+    return jnp.zeros(n, jnp.int32).at[sp].set(
+        jnp.arange(n, dtype=jnp.int32), unique_indices=True
+    )
+
+
+def masked_plan(buf: jnp.ndarray, seg_len: jnp.ndarray) -> MaskedPlan:
+    """Build the fixed sorted layouts (see MaskedPlan)."""
+    n = buf.shape[0]
+    end = PAD_FRONT + seg_len
+    x = jnp.arange(n, dtype=jnp.int32)
+    valid = (x >= PAD_FRONT) & (x < end)
+    ba = byte_arrays(buf)
+
+    # h2 sort: superset row domain [PAD_FRONT-2, end) — covers valid_x and
+    # every possible upd row; extra rows are query-only (upd=0) and change
+    # no other row's scan result
+    rows_h2 = (x >= PAD_FRONT - 2) & (x < end)
+    b = buf.astype(jnp.int32)
+    val_at = _shift_left(b, 1) | _shift_left(b, 2) << 8
+    k = jnp.where(rows_h2, ba.h2, jnp.int32(0x7FFFFFFF))
+    sk, sp_h2, sval_h2 = lax.sort((k, x, val_at), num_keys=2)
+    first_h2 = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+
+    kc = jnp.where(valid, ba.cctx, jnp.int32(0x7FFFFFFF))
+    skc, sp_ctx = lax.sort((kc, x), num_keys=2)
+    first_ctx = jnp.concatenate([jnp.ones(1, bool), skc[1:] != skc[:-1]])
+
+    mk = jnp.where(valid, ba.mkey, jnp.int32(0x7FFFFFFF))
+    dws = [_shift_left(ba.dw, 4 * t).astype(jnp.int32) for t in range(N_DW)]
+    sorted_all = lax.sort((mk, x) + tuple(dws), num_keys=2)
+    msk, msp = sorted_all[:2]
+    dw_s = tuple(a.astype(jnp.uint32) for a in sorted_all[2:])
+
+    return MaskedPlan(
+        sp_h2, sval_h2, first_h2, _inverse_perm(sp_h2),
+        sp_ctx, first_ctx, _inverse_perm(sp_ctx),
+        msk, msp, dw_s, _inverse_perm(msp),
+    )
+
+
 def word_predictions_masked(ba: ByteArrays, buf: jnp.ndarray,
                             end: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """words_mode=1 predictions under a start mask (oracle analyze_ref
@@ -162,7 +229,32 @@ def word_predictions_masked(ba: ByteArrays, buf: jnp.ndarray,
     k = jnp.where(valid_x | upd_ok, ba.h2, jnp.int32(0x7FFFFFFF))
     sk, sp, sval, supd = lax.sort((k, x, val_at, upd), num_keys=2)
     first = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    pred_s = _words1_scan(first, sp, sval, supd)
+    (pred_at_x,) = _sort_back(sp, (pred_s,))
+    pred = _shift_right(pred_at_x, 1)
+    p = jnp.arange(n, dtype=jnp.int32)
+    return jnp.where((p >= PAD_FRONT) & (p < end), pred, 0)
 
+
+def word_predictions_masked_planned(plan: MaskedPlan, end: jnp.ndarray,
+                                    mask: jnp.ndarray) -> jnp.ndarray:
+    """word_predictions_masked over the precomputed h2 layout: only the upd
+    payload rides a 2-array permutation sort (bit-identical output)."""
+    n = mask.shape[0]
+    x = jnp.arange(n, dtype=jnp.int32)
+    upd_ok = (x >= PAD_FRONT - 2) & (x < end) & _shift_left(mask, 3)
+    upd = jnp.where(upd_ok, 1, 0).astype(jnp.int32)
+    _, supd = lax.sort((plan.dest_h2, upd), num_keys=1)
+    pred_s = _words1_scan(plan.first_h2, plan.sp_h2, plan.sval_h2, supd)
+    (pred_at_x,) = _sort_back(plan.sp_h2, (pred_s,))
+    pred = _shift_right(pred_at_x, 1)
+    return jnp.where((x >= PAD_FRONT) & (x < end), pred, 0)
+
+
+def _words1_scan(first, sp, sval, supd):
+    """Segmented newest-3-updates trail over the h2-sorted rows; returns
+    each row's prediction (the last update u <= x-2 in its group)."""
+    n = sp.shape[0]
     neg = jnp.full(n, -1, jnp.int32)
     zero = jnp.zeros(n, jnp.int32)
     leaf_u = jnp.where(supd == 1, sp, -1)
@@ -196,10 +288,7 @@ def word_predictions_masked(ba: ByteArrays, buf: jnp.ndarray,
         jnp.where(u2 <= lim, jnp.where(u2 >= 0, v2, 0),
                   jnp.where((u3 <= lim) & (u3 >= 0), v3, 0)),
     )
-    (pred_at_x,) = _sort_back(sp, (pred_s,))
-    pred = _shift_right(pred_at_x, 1)
-    p = jnp.arange(n, dtype=jnp.int32)
-    return jnp.where((p >= PAD_FRONT) & (p < end), pred, 0)
+    return pred_s
 
 
 def context_ranks(ba: ByteArrays, valid: jnp.ndarray) -> jnp.ndarray:
@@ -250,7 +339,8 @@ def _lcp_round(dw, qb, pb, width):
 
 
 def _analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
-             mask: jnp.ndarray | None, words_mode: bool = False) -> Analysis:
+             mask: jnp.ndarray | None, words_mode: bool = False,
+             plan: MaskedPlan | None = None) -> Analysis:
     """Full phase-1 analysis of one padded segment (jit, static depth).
 
     mask (OTZ2, spec.py): when given, candidates are restricted to masked
@@ -274,7 +364,10 @@ def _analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
 
     ba = byte_arrays(buf)
     if words_mode:
-        pred = word_predictions_masked(ba, buf, end, mask)
+        if plan is not None:
+            pred = word_predictions_masked_planned(plan, end, mask)
+        else:
+            pred = word_predictions_masked(ba, buf, end, mask)
     else:
         pred = word_predictions(ba, buf, end)
     b = buf.astype(jnp.int32)
@@ -283,21 +376,32 @@ def _analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
 
     if mask is None:
         rank = context_ranks(ba, valid)
+    elif plan is not None:
+        rank = masked_context_counts_planned(plan, valid, mask)
     else:
         rank = masked_context_counts(ba, valid, mask)
 
-    # one sort carries every candidate operand into (mkey, pos) space; the
-    # fence/end length cap is an elementwise function of the sorted
-    # positions, so it does not ride the sort as a payload
-    mk = jnp.where(valid, ba.mkey, jnp.int32(0x7FFFFFFF))
-    dws = [_shift_left(ba.dw, 4 * k).astype(jnp.int32) for k in range(N_DW)]
-    extra = () if mask is None else (mask.astype(jnp.int32),)
-    sorted_all = lax.sort(
-        (mk, p, rank) + tuple(dws) + extra, num_keys=2
-    )
-    msk, msp, rank_s = sorted_all[:3]
-    dw_s = [a.astype(jnp.uint32) for a in sorted_all[3 : 3 + N_DW]]
-    mask_s = sorted_all[3 + N_DW] if mask is not None else None
+    if plan is not None:
+        # fixed layouts: only the mask-derived payloads ride a sort
+        _, rank_s, mask_si = lax.sort(
+            (plan.dest_cand, rank, mask.astype(jnp.int32)), num_keys=1
+        )
+        msk, msp = plan.msk, plan.msp
+        dw_s = list(plan.dw_s)
+        mask_s = mask_si
+    else:
+        # one sort carries every candidate operand into (mkey, pos) space;
+        # the fence/end length cap is an elementwise function of the sorted
+        # positions, so it does not ride the sort as a payload
+        mk = jnp.where(valid, ba.mkey, jnp.int32(0x7FFFFFFF))
+        dws = [_shift_left(ba.dw, 4 * k).astype(jnp.int32) for k in range(N_DW)]
+        extra = () if mask is None else (mask.astype(jnp.int32),)
+        sorted_all = lax.sort(
+            (mk, p, rank) + tuple(dws) + extra, num_keys=2
+        )
+        msk, msp, rank_s = sorted_all[:3]
+        dw_s = [a.astype(jnp.uint32) for a in sorted_all[3 : 3 + N_DW]]
+        mask_s = sorted_all[3 + N_DW] if mask is not None else None
 
     # Depth loop: a Pallas kernel runs all `depth` shift-compare rounds over
     # VMEM tiles, reading each sorted operand from HBM exactly once (the XLA
@@ -477,4 +581,22 @@ def masked_context_counts(ba: ByteArrays, valid: jnp.ndarray,
     _, incl = lax.associative_scan(_seg_add, (first, sm))
     excl = incl - sm
     (scnt,) = _sort_back(sp, (excl,))
+    return jnp.where(valid, scnt, 0)
+
+
+def masked_context_counts_planned(plan: MaskedPlan, valid: jnp.ndarray,
+                                  mask: jnp.ndarray) -> jnp.ndarray:
+    """masked_context_counts over the precomputed (cctx, x) layout."""
+
+    def _seg_add(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va + vb)
+
+    _, sm = lax.sort(
+        (plan.dest_ctx, (mask & valid).astype(jnp.int32)), num_keys=1
+    )
+    _, incl = lax.associative_scan(_seg_add, (plan.first_ctx, sm))
+    excl = incl - sm
+    (scnt,) = _sort_back(plan.sp_ctx, (excl,))
     return jnp.where(valid, scnt, 0)

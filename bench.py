@@ -63,7 +63,7 @@ def make_corpus(n: int) -> bytes:
 
 
 def main() -> int:
-    mb = int(os.environ.get("BENCH_MB", "16"))
+    mb = int(os.environ.get("BENCH_MB", "32"))
     level = int(os.environ.get("BENCH_LEVEL", "2"))
     seg_mb = int(os.environ.get("BENCH_SEGMENT_MB", "8"))
     segment_size = seg_mb << 20
@@ -111,11 +111,16 @@ def main() -> int:
         padded[PAD_FRONT : PAD_FRONT + len(seg)] = np.frombuffer(seg, np.uint8)
         staged = jax.device_put(jnp.asarray(padded))
 
+        from orz_tpu.device.spec import otz2_enabled
+
+        dispatch_mid = (_pipe.dispatch_segment_mid2 if otz2_enabled(level)
+                        else _pipe.dispatch_segment_mid)
+
         def _compute_one(_):
             front = _pipe.dispatch_segment_front(
                 seg, level, _pipe.CHUNK_INPUT_DEFAULT, staged_buf=staged
             )
-            mid = _pipe.dispatch_segment_mid(front)
+            mid = dispatch_mid(front)
             back = _pipe.dispatch_segment_back(mid)
             np.asarray(back["out"].meta[0])  # completion barrier
 

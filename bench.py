@@ -162,6 +162,33 @@ def main() -> int:
     except Exception as e:  # size check is informational
         print(f"bench: orz size comparison skipped: {e}", file=sys.stderr)
 
+    # OTZ2 (item-start rings, OTZ2=1 quality mode) ratio on a 2 MiB sample —
+    # the shape whose device programs are pre-compiled in the on-disk cache.
+    if level >= 2 and os.environ.get("BENCH_OTZ2_RATIO", "1") == "1":
+        try:
+            from orz_tpu.cfg import cfg_from_level
+            from orz_tpu.container import encode_bytes
+            from orz_tpu.native import NativeBackend
+
+            s2 = data[: min(len(data), 2 << 20)]
+            saved = os.environ.get("OTZ2")
+            os.environ["OTZ2"] = "1"
+            try:
+                otz2 = tpu_encode_bytes(s2, level=level, segment_size=2 << 20,
+                                        num_streams=1)
+                assert tpu_decode_bytes(otz2) == s2
+            finally:
+                if saved is None:
+                    os.environ.pop("OTZ2", None)
+                else:
+                    os.environ["OTZ2"] = saved
+            orz2 = len(encode_bytes(s2, cfg_from_level(level), NativeBackend()))
+            print(f"bench: OTZ2 quality mode (OTZ2=1) vs orz l{level} on 2MiB "
+                  f"sample: otz2={len(otz2)} orz={orz2} "
+                  f"({len(otz2)/orz2*100:.2f}%), round-trip ok", file=sys.stderr)
+        except Exception as e:
+            print(f"bench: OTZ2 ratio measurement skipped: {e}", file=sys.stderr)
+
     best = max(gbps_c, gbps)
     print(json.dumps({
         "metric": f"otz device encode throughput (input in HBM, round-trip "

@@ -70,6 +70,12 @@ def main() -> int:
 
     import jax
 
+    # The axon TPU plugin sets jax_platforms via jax.config, which beats the
+    # JAX_PLATFORMS env var (tests/conftest.py has the same note) — honor the
+    # env var explicitly so `JAX_PLATFORMS=cpu python bench.py` works.
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     from orz_tpu.device.container import tpu_decode_bytes, tpu_encode_bytes
 
     dev = jax.devices()[0]

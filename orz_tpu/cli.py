@@ -54,6 +54,9 @@ def main(argv=None) -> int:
     p_enc.add_argument("-b", "--backend", default="auto", help="codec backend: auto|native|golden|tpu")
     p_enc.add_argument("-p", "--parallel", type=int, default=0, metavar="N",
                        help="block-parallel multi-stream container over N workers/devices")
+    p_enc.add_argument("--checkpoint", metavar="STATE.json", default=None,
+                       help="segment-granular resume sidecar (requires file "
+                            "paths; implies the multi-stream container)")
     p_enc.add_argument("ipath", nargs="?", default=None, help="Source file name, default to stdin")
     p_enc.add_argument("opath", nargs="?", default=None, help="Target file name, default to stdout")
 
@@ -76,7 +79,33 @@ def main(argv=None) -> int:
     try:
         fin, fout = _open_io(args.ipath, args.opath)
         if args.command == "encode":
-            if backend == "tpu":
+            if args.checkpoint:
+                if not (args.ipath and args.opath):
+                    print("encode --checkpoint requires file paths (resume "
+                          "seeks both files)", file=sys.stderr)
+                    return 1
+                from orz_tpu.checkpoint import checkpointed_encode
+                from orz_tpu.pcontainer import (
+                    DEFAULT_SEGMENT_SIZE, PARALLEL_MAGIC, TPU_MAGIC)
+
+                if backend == "tpu":
+                    from orz_tpu.device.container import (
+                        DEFAULT_SEGMENT_SIZE as TPU_SEG)
+                    from orz_tpu.device.pipeline import encode_segment_staged
+                    from orz_tpu.device.spec import CHUNK_INPUT_DEFAULT
+
+                    enc_seg = (lambda seg: encode_segment_staged(
+                        seg, args.level, CHUNK_INPUT_DEFAULT))
+                    magic, seg_size = TPU_MAGIC, TPU_SEG
+                else:
+                    cfg = cfg_from_level(args.level)
+                    enc_seg = (lambda seg:
+                               container.encode_bytes(seg, cfg, backend))
+                    magic, seg_size = PARALLEL_MAGIC, DEFAULT_SEGMENT_SIZE
+                checkpointed_encode(
+                    args.ipath, args.opath, enc_seg, magic, seg_size,
+                    args.parallel or 2, args.checkpoint, logger)
+            elif backend == "tpu":
                 from orz_tpu.device.container import tpu_encode
 
                 tpu_encode(fin, fout, level=args.level,

@@ -1,18 +1,28 @@
 """Benchmark harness: OTZ device encode throughput on real hardware.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+"extra": {...}}.
 
 Baseline: the reference orz -l2 encodes enwik8 at ~29.8 MB/s on the CI x86
 runner (README.md:43, 3.360 s / 100 MB).  vs_baseline is our single-chip
 device encode throughput over that number: the rate with segments resident
 in HBM and syncs overlapped (the dev harness's ~30 MB/s relay tunnel to the
 chip caps any host-streamed number; real TPU hosts feed the chip at >10
-GB/s).  Round-trip is verified end to end with the native decoder and the
+GB/s).  Both rates are reported: `value` is the device-compute rate and
+`extra.end_to_end` is the host-streamed rate through this harness's tunnel.
+Round-trip is verified end to end with the native decoder and the
 compressed size is compared against the format-exact native ORZ codec at
 the same level (both printed on stderr).
 
+Corpus: by default a deterministic mix of REAL local files not authored by
+this repo (tools/real_corpus.py — package sources, XML/JSON data, ELF
+binaries; the enwik8 the reference benches on is unobtainable offline).
+BENCH_CORPUS=synthetic selects the legacy tuned synthetic corpus.
+
 Env knobs: BENCH_MB (corpus MiB, default 32), BENCH_LEVEL (default 2),
-BENCH_SEGMENT_MB (default 8).
+BENCH_SEGMENT_MB (default 8), BENCH_CORPUS (real|synthetic, default real),
+OTZ2 (=0 forces the legacy OTZ1 bytes-ring mode off the default quality
+path), BENCH_OTZ1_RATIO (=1 adds an OTZ1-mode ratio line for comparison).
 """
 
 from __future__ import annotations
@@ -62,6 +72,29 @@ def make_corpus(n: int) -> bytes:
     return bytes(out[:n])
 
 
+def bench_corpus(n: int) -> tuple[bytes, str]:
+    """(data, name) for the configured corpus kind."""
+    kind = os.environ.get("BENCH_CORPUS", "real")
+    if kind == "real":
+        try:
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.real_corpus import make_real_corpus
+
+            return make_real_corpus(n), "real"
+        except Exception as e:
+            print(f"bench: real corpus unavailable ({e}); using synthetic",
+                  file=sys.stderr)
+    return make_corpus(n), "synthetic"
+
+
+def _orz_size(sample: bytes, level: int) -> int:
+    from orz_tpu.cfg import cfg_from_level
+    from orz_tpu.container import encode_bytes
+    from orz_tpu.native import NativeBackend
+
+    return len(encode_bytes(sample, cfg_from_level(level), NativeBackend()))
+
+
 def main() -> int:
     mb = int(os.environ.get("BENCH_MB", "32"))
     level = int(os.environ.get("BENCH_LEVEL", "2"))
@@ -79,16 +112,16 @@ def main() -> int:
     from orz_tpu.device.container import tpu_decode_bytes, tpu_encode_bytes
 
     dev = jax.devices()[0]
-    print(f"bench: device={dev}, corpus={mb} MiB, level={level}, "
-          f"segment={seg_mb} MiB", file=sys.stderr)
-
-    data = make_corpus(mb << 20)
+    data, corpus_name = bench_corpus(mb << 20)
+    print(f"bench: device={dev}, corpus={mb} MiB ({corpus_name}), "
+          f"level={level}, segment={seg_mb} MiB", file=sys.stderr)
 
     # warm-up: compile the segment-shape bucket
     warm = data[:segment_size] if len(data) >= segment_size else data
     t0 = time.perf_counter()
     tpu_encode_bytes(warm, level=level, segment_size=segment_size, num_streams=1)
-    print(f"bench: warm-up (compile) {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    warmup_s = time.perf_counter() - t0
+    print(f"bench: warm-up (compile) {warmup_s:.1f}s", file=sys.stderr)
 
     t0 = time.perf_counter()
     comp = tpu_encode_bytes(data, level=level, segment_size=segment_size, num_streams=4)
@@ -101,23 +134,21 @@ def main() -> int:
     # ~30 MB/s relay tunnel with ~30 ms round trips, which caps the
     # end-to-end number measured above regardless of device speed; on
     # directly-attached TPU hosts (>10 GB/s DMA) end-to-end tracks this
-    # compute rate, so this is the headline metric (end-to-end printed too).
+    # compute rate, so this is the headline metric (end-to-end reported
+    # alongside it in `extra`).
     gbps_c = 0.0
     try:
         from concurrent.futures import ThreadPoolExecutor
 
-        import jax
         import jax.numpy as jnp
         from orz_tpu.device import pipeline as _pipe
-        from orz_tpu.device.spec import PAD_FRONT, PAD_TAIL
+        from orz_tpu.device.spec import PAD_FRONT, PAD_TAIL, otz2_enabled
 
         seg = data[:segment_size]
         cap = _pipe._bucket_capacity(len(seg))
         padded = np.zeros(PAD_FRONT + cap + PAD_TAIL, dtype=np.uint8)
         padded[PAD_FRONT : PAD_FRONT + len(seg)] = np.frombuffer(seg, np.uint8)
         staged = jax.device_put(jnp.asarray(padded))
-
-        from orz_tpu.device.spec import otz2_enabled
 
         dispatch_mid = (_pipe.dispatch_segment_mid2 if otz2_enabled(level)
                         else _pipe.dispatch_segment_mid)
@@ -149,51 +180,48 @@ def main() -> int:
     if out != data:
         print("bench: ROUND-TRIP FAILED", file=sys.stderr)
         return 1
+    decode_mbps = len(data) / dt_dec / 1e6
 
     ratio = len(comp) / len(data)
-    print(f"bench: encode {gbps*1000:.1f} MB/s, decode {len(data)/dt_dec/1e6:.1f} MB/s, "
+    print(f"bench: encode {gbps*1000:.1f} MB/s, decode {decode_mbps:.1f} MB/s, "
           f"ratio {ratio*100:.2f}% ({len(comp)}/{len(data)})", file=sys.stderr)
 
-    # compressed-size parity vs the format-exact native ORZ codec (CPU)
+    # compressed-size parity vs the format-exact native ORZ codec (CPU) on
+    # the DEFAULT path at a full segment
+    ratio_vs_orz = None
     try:
-        from orz_tpu.cfg import cfg_from_level
-        from orz_tpu.container import encode_bytes
-        from orz_tpu.native import NativeBackend
-
         sample = data[: min(len(data), 8 << 20)]
-        orz_size = len(encode_bytes(sample, cfg_from_level(level), NativeBackend()))
+        orz_size = _orz_size(sample, level)
         otz_size = len(tpu_encode_bytes(sample, level=level, segment_size=segment_size))
+        ratio_vs_orz = otz_size / orz_size
         print(f"bench: size vs orz l{level} on 8MiB sample: "
-              f"otz={otz_size} orz={orz_size} ({otz_size/orz_size*100:.2f}%)", file=sys.stderr)
+              f"otz={otz_size} orz={orz_size} ({ratio_vs_orz*100:.2f}%)", file=sys.stderr)
     except Exception as e:  # size check is informational
         print(f"bench: orz size comparison skipped: {e}", file=sys.stderr)
 
-    # OTZ2 (item-start rings, OTZ2=1 quality mode) ratio on a 2 MiB sample —
-    # the shape whose device programs are pre-compiled in the on-disk cache.
-    if level >= 2 and os.environ.get("BENCH_OTZ2_RATIO", "1") == "1":
+    # legacy OTZ1 (bytes-only rings) comparison point, off by default: it
+    # costs another encode of the sample
+    if level >= 2 and os.environ.get("BENCH_OTZ1_RATIO", "0") == "1":
         try:
-            from orz_tpu.cfg import cfg_from_level
-            from orz_tpu.container import encode_bytes
-            from orz_tpu.native import NativeBackend
-
             s2 = data[: min(len(data), 2 << 20)]
             saved = os.environ.get("OTZ2")
-            os.environ["OTZ2"] = "1"
+            os.environ["OTZ2"] = "0"
             try:
-                otz2 = tpu_encode_bytes(s2, level=level, segment_size=2 << 20,
+                otz1 = tpu_encode_bytes(s2, level=level, segment_size=2 << 20,
                                         num_streams=1)
-                assert tpu_decode_bytes(otz2) == s2
+                if tpu_decode_bytes(otz1) != s2:
+                    raise RuntimeError("OTZ1 round-trip failed")
             finally:
                 if saved is None:
                     os.environ.pop("OTZ2", None)
                 else:
                     os.environ["OTZ2"] = saved
-            orz2 = len(encode_bytes(s2, cfg_from_level(level), NativeBackend()))
-            print(f"bench: OTZ2 quality mode (OTZ2=1) vs orz l{level} on 2MiB "
-                  f"sample: otz2={len(otz2)} orz={orz2} "
-                  f"({len(otz2)/orz2*100:.2f}%), round-trip ok", file=sys.stderr)
+            orz2 = _orz_size(s2, level)
+            print(f"bench: OTZ1 mode (OTZ2=0) vs orz l{level} on 2MiB "
+                  f"sample: otz1={len(otz1)} orz={orz2} "
+                  f"({len(otz1)/orz2*100:.2f}%), round-trip ok", file=sys.stderr)
         except Exception as e:
-            print(f"bench: OTZ2 ratio measurement skipped: {e}", file=sys.stderr)
+            print(f"bench: OTZ1 ratio measurement skipped: {e}", file=sys.stderr)
 
     best = max(gbps_c, gbps)
     print(json.dumps({
@@ -202,6 +230,16 @@ def main() -> int:
         "value": round(best, 4),
         "unit": "GB/s",
         "vs_baseline": round(best / ORZ_L2_BASELINE_GBPS, 3),
+        "extra": {
+            "compute_GBps": round(gbps_c, 4),
+            "end_to_end_GBps": round(gbps, 4),
+            "decode_MBps": round(decode_mbps, 1),
+            "ratio": round(ratio, 4),
+            "ratio_vs_orz_l2": (round(ratio_vs_orz, 4)
+                                if ratio_vs_orz is not None else None),
+            "corpus": corpus_name,
+            "warmup_s": round(warmup_s, 1),
+        },
     }))
     return 0
 

@@ -17,6 +17,23 @@
 #include <cstring>
 #include <vector>
 
+// OTZ_PROF: section cycle counters (rdtsc) for the decode hot loop, read
+// back via otz_prof_read().  Adds ~5 rdtsc probes per item — meaningful for
+// SHARE analysis only, not absolute rates.  Off in the shipped build.
+#ifdef OTZ_PROF
+#include <x86intrin.h>
+static uint64_t g_prof[8];
+struct ProfScope {
+  int slot;
+  uint64_t t0;
+  ProfScope(int s) : slot(s), t0(__rdtsc()) {}
+  ~ProfScope() { g_prof[slot] += __rdtsc() - t0; }
+};
+#define PROF(slot) ProfScope _prof##__LINE__(slot)
+#else
+#define PROF(slot)
+#endif
+
 namespace {
 
 constexpr int PAD_FRONT = 16;
@@ -312,19 +329,30 @@ struct Decoder {
 
       for (int64_t it = 0; it < n_items; it++) {
         if (p >= end || bd.fail) return -5;
-        while (!words_flag && done_word <= p - 3) {
-          int64_t u = done_word;
-          words[h2_at(u)] = (uint16_t)(buf[u + 1] | (buf[u + 2] << 8));
-          done_word++;
+        {
+          PROF(0);
+          while (!words_flag && done_word <= p - 3) {
+            int64_t u = done_word;
+            words[h2_at(u)] = (uint16_t)(buf[u + 1] | (buf[u + 2] << 8));
+            done_word++;
+          }
         }
 
         int64_t p0 = p;  // item start (ring-inserted below if rings_flag)
         int c1 = cctx_at(p);
         int last_word = words[h2_at(p - 1)];
         int sr_ctx = c1 | ((int)after_literal << 8);
-        int sym = (after_literal ? tabA : tabB).decode(bd);
+        int sym;
+        {
+          PROF(1);
+          sym = (after_literal ? tabA : tabB).decode(bd);
+        }
         if (sym >= N_SYM) return -6;
-        int v = sr.decode(sr_ctx, sym, last_word & 0xFF);
+        int v;
+        {
+          PROF(2);
+          v = sr.decode(sr_ctx, sym, last_word & 0xFF);
+        }
 
         if (v == WORD_SYMBOL) {
           if (p + 2 > end) return -7;
@@ -337,6 +365,7 @@ struct Decoder {
           p += 1;
           after_literal = true;
         } else {
+          PROF(3);
           int lenid;
           int64_t q;
           if (v >= REP0_BASE) {  // rep0: previous match's distance
@@ -437,4 +466,55 @@ int64_t otz_decode_segment(const uint8_t* src, int64_t src_len, uint8_t* dst, in
   return d.run(src, src_len, dst, cap);
 }
 
+#ifdef OTZ_PROF
+void otz_prof_read(uint64_t* out) {
+  for (int i = 0; i < 8; i++) out[i] = g_prof[i];
+}
+#endif
+
 }  // extern "C"
+
+// Standalone decode benchmark: g++ -O3 -DOTZ_MAIN [-DOTZ_PROF] otz_core.cpp
+//   ./a.out SEGMENT_FILE [reps]     (file = one raw OTZ segment payload)
+#ifdef OTZ_MAIN
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
+
+int main(int argc, char** argv) {
+  if (argc < 2) return 1;
+  FILE* f = fopen(argv[1], "rb");
+  if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  long n = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> src(n);
+  if (fread(src.data(), 1, n, f) != (size_t)n) return 1;
+  fclose(f);
+  int reps = argc > 2 ? atoi(argv[2]) : 5;
+  int64_t raw = otz_raw_len(src.data(), n);
+  std::vector<uint8_t> dst(raw);
+  double best = 1e30;
+  for (int r = 0; r < reps; r++) {
+    auto t0 = std::chrono::steady_clock::now();
+    int64_t rc = otz_decode_segment(src.data(), n, dst.data(), raw);
+    double dt = std::chrono::duration<double>(
+        std::chrono::steady_clock::now() - t0).count();
+    if (rc != raw) { fprintf(stderr, "decode error %lld\n", (long long)rc); return 2; }
+    if (dt < best) best = dt;
+  }
+  printf("decode: %ld -> %lld bytes, best %.3fs = %.1f MB/s\n",
+         n, (long long)raw, best, raw / best / 1e6);
+#ifdef OTZ_PROF
+  uint64_t prof[8];
+  otz_prof_read(prof);
+  uint64_t tot = 0;
+  for (int i = 0; i < 4; i++) tot += prof[i];
+  const char* names[4] = {"words-catchup", "huffman", "symrank", "match"};
+  for (int i = 0; i < 4; i++)
+    printf("  %-14s %6.1f%% (%llu Mcyc)\n", names[i],
+           100.0 * prof[i] / (tot ? tot : 1), (unsigned long long)(prof[i] >> 20));
+#endif
+  return 0;
+}
+#endif

@@ -82,13 +82,27 @@ def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
         dw_s = cur[3 : 3 + N_DW]
         mask_s = cur[3 + N_DW] if masked else None
 
-        # one-row-down views, seeded with the previous tile's last row (the
-        # XLA-loop fill values on the very first tile)
-        down = []
-        for r, h, f in zip(ins, halos, fills):
-            top = jnp.where(blk == 0, jnp.full((1, LANES), f, jnp.int32),
-                            h[7:8, :])  # halo block = previous tile's last 8 rows
-            down.append(jnp.concatenate([top, r[0 : ROWS - 1, :]], axis=0))
+        # k-rows-down views, seeded with the previous tile's last rows (the
+        # XLA-loop fill values on the very first tile).  A flat shift by
+        # j = 128*a + b mixes rows r-a and r-a-1 (both lane-rotated by b),
+        # so reach depth d needs down-views for k = 0..ceil(d/128); the
+        # 8-row halo block supports shifts up to 8*128-1 = 1023.
+        n_down = -(-depth // LANES) + 1
+        assert n_down <= 9
+        down = []  # down[a][k] = ins[a] shifted k rows down
+        for a, (h, f) in enumerate(zip(halos, fills)):
+            r = cur[a]
+            views = [r]
+            for k in range(1, n_down):
+                top = jnp.where(
+                    blk == 0,
+                    jnp.full((k, LANES), f, jnp.int32),
+                    h[8 - k : 8, :],  # halo = previous tile's last 8 rows
+                )
+                views.append(
+                    jnp.concatenate([top, r[0 : ROWS - k, :]], axis=0)
+                )
+            down.append(views)
 
         lane = lax.broadcasted_iota(jnp.int32, (ROWS, LANES), 1)
         cap = jnp.minimum(
@@ -100,49 +114,68 @@ def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
         best_ro = jnp.zeros((ROWS, LANES), jnp.int32)
         best_len = jnp.zeros((ROWS, LANES), jnp.int32)
 
-        def round_j(j, carry):
-            best_s, best_q, best_ro, best_len = carry
-            sh = []
-            for a in range(n_arrays):
-                r_cur = pltpu.roll(cur[a], j, 1)
-                r_dwn = pltpu.roll(down[a], j, 1)
-                sh.append(jnp.where(lane < j, r_dwn, r_cur))
-            mskj, mspj, rankj = sh[0], sh[1], sh[2]
-            same = mskj == msk
-            if masked:
-                # rank_s counts masked predecessors only; for a masked
-                # candidate q, rankj IS its start-rank (exclusive), so
-                # ro = scnt_now(p) - scnt_now(q) - 1 (oracle analyze_ref)
-                ro = rank_s - 1 - rankj
-                ok = same & (sh[3 + N_DW] == 1) & (ro < ro_cap)
-            else:
-                ro = rank_s - 1 - rankj
-                ok = same & (ro < RING)
-            lcp = _lcp_w([sh[3 + t] ^ dw_s[t] for t in range(N_DW)])
-            lcp = jnp.minimum(lcp, cap)
-            ok = ok & (lcp >= min_match_len_for_ro(ro))
-            # recency bonus must stay BELOW one lcp step (256 > any depth;
-            # 64 overflowed into the next lcp bucket at masked depth 96)
-            score = jnp.where(ok, lcp * 256 + (depth - j), -1)
-            better = score > best_s  # strict: ties keep the more recent j
-            return (
-                jnp.maximum(best_s, score),
-                jnp.where(better, mspj, best_q),
-                jnp.where(better, ro, best_ro),
-                jnp.where(better, lcp, best_len),
-            )
+        def make_round(rows_a):
+            """Round body for shifts j = 128*rows_a + b (rows_a static):
+            the sources are down-views rows_a and rows_a+1, both
+            lane-rotated by b."""
+            hi = down_views(rows_a)
+            lo = down_views(min(rows_a + 1, n_down - 1))
+
+            def round_b(b, carry):
+                j = rows_a * LANES + b
+                best_s, best_q, best_ro, best_len = carry
+                sh = []
+                for a in range(n_arrays):
+                    r_hi = pltpu.roll(hi[a], b, 1)
+                    r_lo = pltpu.roll(lo[a], b, 1)
+                    sh.append(jnp.where(lane < b, r_lo, r_hi))
+                mskj, mspj, rankj = sh[0], sh[1], sh[2]
+                same = mskj == msk
+                if masked:
+                    # rank_s counts masked predecessors only; for a masked
+                    # candidate q, rankj IS its start-rank (exclusive), so
+                    # ro = scnt_now(p) - scnt_now(q) - 1 (oracle analyze_ref)
+                    ro = rank_s - 1 - rankj
+                    ok = same & (sh[3 + N_DW] == 1) & (ro < ro_cap)
+                else:
+                    ro = rank_s - 1 - rankj
+                    ok = same & (ro < RING)
+                lcp = _lcp_w([sh[3 + t] ^ dw_s[t] for t in range(N_DW)])
+                lcp = jnp.minimum(lcp, cap)
+                ok = ok & (lcp >= min_match_len_for_ro(ro))
+                # recency bonus must stay BELOW one lcp step (1024 > any
+                # depth; 64 overflowed a bucket at masked depth 96)
+                score = jnp.where(ok, lcp * 1024 + (1023 - j), -1)
+                better = score > best_s  # strict: ties keep more recent j
+                return (
+                    jnp.maximum(best_s, score),
+                    jnp.where(better, mspj, best_q),
+                    jnp.where(better, ro, best_ro),
+                    jnp.where(better, lcp, best_len),
+                )
+
+            return round_b
+
+        def down_views(k):
+            return [down[a][k] for a in range(n_arrays)]
 
         carry = (best_s, best_q, best_ro, best_len)
         if depth <= 32:
             # static unroll: constant roll amounts compile to the leanest
             # code and this is the hot OTZ1 path
+            rb = make_round(0)
             for j in range(1, depth + 1):
-                carry = round_j(j, carry)
+                carry = rb(j, carry)
         else:
-            # dynamic-shift rounds: the 96-shift masked window unrolled to
-            # a Mosaic program that took >25 min to compile at the 8 MiB
-            # bucket; a fori_loop with dynamic rotates compiles in seconds
-            carry = lax.fori_loop(1, depth + 1, round_j, carry)
+            # dynamic-shift rounds: a static unroll of the 96-shift masked
+            # window took >25 min of Mosaic compile at the 8 MiB bucket; a
+            # fori_loop with dynamic rotates compiles in seconds.  One
+            # fori per 128-shift band (the down-view pair is static per
+            # band); bands above `depth` don't exist.
+            for a_rows in range(n_down - 1):
+                b_lo = 1 if a_rows == 0 else 0
+                b_hi = min(LANES, depth + 1 - a_rows * LANES)
+                carry = lax.fori_loop(b_lo, b_hi, make_round(a_rows), carry)
         _, best_q, best_ro, best_len = carry
 
         bq_ref[:] = best_q
@@ -164,9 +197,11 @@ def match_depth_pallas(msk, msp, rank_s, dw_s, end, depth: int,
     mask_s (OTZ2): 0/1 start mask riding the sort; only mask==1 rows are
     candidates, rank_s must hold MASKED prefix counts, and offsets gate at
     ro_cap (spec.OTZ2_RO_CAP).  `depth` then counts sorted-space SHIFTS
-    (the masked window), not accepted candidates.
+    (the masked window), not accepted candidates — at item-start mask
+    density ~0.2, effective candidate depth is ~depth/5, so quality-mode
+    windows run 256-512 shifts (the 8-row halo reaches 1023).
     """
-    assert 0 < depth < 128 and depth < 256  # roll reach / score packing
+    assert 0 < depth < 1024  # 8-row halo reach; score packs lcp*1024+recency
     n = msk.shape[0]
     blk_elems = ROWS * LANES
     n_blocks = -(-n // blk_elems)

@@ -104,6 +104,10 @@ import os as _os_otz2
 
 OTZ2_SHIFTS = int(_os_otz2.environ.get("OTZ2_SHIFTS", "96"))
 # sorted-space shift window for the masked candidate loop
+OTZ2_NEAR = int(_os_otz2.environ.get("OTZ2_NEAR", "0"))
+# >0: shifts past this accept candidates only for queries that are
+# themselves previous item starts (ops/match_pallas.py near_depth) —
+# the deep-window experiment knob; 0 = all queries see the full window
 OTZ2_ITERS = int(_os_otz2.environ.get("OTZ2_ITERS", "6"))
 # masked re-parses before emission (quality knob; measured
 # 256 KiB vs orz -l2: 4 -> 101.01%, 6 -> 100.35%, 8 -> 100.27%, and the
@@ -120,13 +124,13 @@ OTZ2_RO_CAP = 4094
 
 
 def otz2_enabled(level: int) -> bool:
-    # Gated on OTZ2=1 while the device fixed-point path is being validated;
-    # flips to `level >= 2` once benched (item-start rings recover ~5 pt of
+    # Default ON at l2 since round 3 (item-start rings recover ~5 pt of
     # ratio at 8 MiB: every-position rings cost ~1.6 extra offset bits per
-    # match, and the gap grows with segment size).
+    # match, and the gap grows with segment size).  OTZ2=0 forces the
+    # legacy bytes-ring (OTZ1) throughput mode.
     import os
 
-    return os.environ.get("OTZ2", "0") == "1" and level >= 2
+    return os.environ.get("OTZ2", "1") == "1" and level >= 2
 
 # price gate: far reduced offsets cost 11-13 raw bits, so a minimum match
 # length scales with offset distance (near orz's implicit pricing via its

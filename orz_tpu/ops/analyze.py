@@ -406,12 +406,13 @@ def _analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
     # Depth loop: a Pallas kernel runs all `depth` shift-compare rounds over
     # VMEM tiles, reading each sorted operand from HBM exactly once (the XLA
     # fori_loop streamed every array once per round — ~50 ms at 4 MiB).
-    from orz_tpu.device.spec import OTZ2_RO_CAP
+    from orz_tpu.device.spec import OTZ2_NEAR, OTZ2_RO_CAP
     from orz_tpu.ops.match_pallas import match_depth_pallas
 
     best_q_s, best_ro_s, best_len_s = match_depth_pallas(
         msk, msp, rank_s, tuple(dw_s), end, depth, mask_s=mask_s,
         ro_cap=OTZ2_RO_CAP if mask is not None else RING,
+        near_depth=OTZ2_NEAR if mask is not None else 0,
     )
 
     # back to position space (sort on stored position, no scatters); the

@@ -57,12 +57,18 @@ def _lcp_w(xors):
 
 
 def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
-                 ro_cap: int = RING):
+                 ro_cap: int = RING, near_depth: int = 0):
     """masked=True: the OTZ2 candidate loop (spec.py) — only rows whose
     mask payload is 1 may be candidates (they are the previous parse's item
     starts), rank_s is the MASKED in-context prefix count (so ro is a
     start-rank estimate), and offsets are gated at ro_cap (the encoder's
-    search cap, OTZ2_RO_CAP) instead of RING."""
+    search cap, OTZ2_RO_CAP) instead of RING.
+
+    near_depth > 0 (masked only): rounds past near_depth accept candidates
+    only for queries that are themselves mask rows (previous item starts) —
+    the parse re-decides deep matches only where an item already starts.
+    Quality-equivalent to a two-pass design whose deep pass runs on
+    compacted mask rows at ~mask-density cost."""
 
     def kernel(*refs):
         # refs: n_arrays block inputs, n_arrays halo rows, end scalar,
@@ -137,6 +143,9 @@ def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
                     # ro = scnt_now(p) - scnt_now(q) - 1 (oracle analyze_ref)
                     ro = rank_s - 1 - rankj
                     ok = same & (sh[3 + N_DW] == 1) & (ro < ro_cap)
+                    if near_depth:
+                        deep_ok = (mask_s == 1) | (j <= near_depth)
+                        ok = ok & deep_ok
                 else:
                     ro = rank_s - 1 - rankj
                     ok = same & (ro < RING)
@@ -185,9 +194,10 @@ def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("depth", "ro_cap"))
+@partial(jax.jit, static_argnames=("depth", "ro_cap", "near_depth"))
 def match_depth_pallas(msk, msp, rank_s, dw_s, end, depth: int,
-                       mask_s=None, ro_cap: int = RING):
+                       mask_s=None, ro_cap: int = RING,
+                       near_depth: int = 0):
     """(best_q_s, best_ro_s, best_len_s) over the sorted arrays.
 
     All inputs are n-length int32 in (mkey, pos)-sorted order; dw_s is a
@@ -228,7 +238,7 @@ def match_depth_pallas(msk, msp, rank_s, dw_s, end, depth: int,
     )
     out = pl.pallas_call(
         _make_kernel(depth, n_arrays, masked=mask_s is not None,
-                     ro_cap=ro_cap),
+                     ro_cap=ro_cap, near_depth=near_depth),
         interpret=jax.default_backend() != "tpu",
         grid=(n_blocks,),
         in_specs=[blk_spec] * n_arrays + [halo_spec] * n_arrays

@@ -25,7 +25,7 @@ if os.environ.get("JAX_PLATFORMS"):
 
 import numpy as np
 
-from bench import make_corpus
+from bench import bench_corpus
 from orz_tpu.device import pipeline as pipe
 from orz_tpu.device.spec import (CHUNK_INPUT_DEFAULT, LZ_LENID_SIZE, PAD_FRONT,
                                  SYMRANK_NUM_SYMBOLS, TABC_SIZE)
@@ -95,7 +95,8 @@ def main():
     level = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     otz2 = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     scale_bits = int(sys.argv[4]) if len(sys.argv) > 4 else 14
-    data = make_corpus(int(mb * (1 << 20)))
+    data, corpus_name = bench_corpus(int(mb * (1 << 20)))
+    print(f"corpus: {corpus_name}")
 
     front = pipe.dispatch_segment_front(data, level, CHUNK_INPUT_DEFAULT)
     mid = (pipe.dispatch_segment_mid2(front) if otz2
@@ -149,6 +150,36 @@ def main():
     print(f"TOTAL (incl raw offset bits): huff={huff_total/8:.0f}B "
           f"rans={rans_total/8:.0f}B  saves {(huff_total-rans_total)/8:.0f}B "
           f"= {(huff_total-rans_total)/huff_total*100:.2f}% of payload")
+
+    # conditional-entropy probe: how much would splitting table A/B by a
+    # coarse byte-context class gain (ignoring table overhead)?
+    sr_ctx = np.asarray(items.sr_ctx)
+    for nclass in (4, 16, 64):
+        cls = (sr_ctx & 0xFF) % nclass
+        H_split = 0.0
+        n_tot = 0
+        for al_v in (0, 1):
+            for c in range(nclass):
+                sel = valid & (al == al_v) & (cls == c)
+                w = np.bincount(coded[sel], minlength=SYMRANK_NUM_SYMBOLS)
+                nn = w.sum()
+                if nn == 0:
+                    continue
+                p = w[w > 0] / nn
+                H_split += float(-(w[w > 0] * np.log2(p)).sum())
+                n_tot += nn
+        # baseline: unsplit A/B entropy
+        H_base = 0.0
+        for al_v in (0, 1):
+            sel = valid & (al == al_v)
+            w = np.bincount(coded[sel], minlength=SYMRANK_NUM_SYMBOLS)
+            nn = w.sum()
+            if nn:
+                p = w[w > 0] / nn
+                H_base += float(-(w[w > 0] * np.log2(p)).sum())
+        tables = 2 * nclass * 450  # ~450 bits per serialized table, rough
+        print(f"ctx-split x{nclass}: H {H_base/8:.0f} -> {H_split/8:.0f} B "
+              f"(saves {(H_base-H_split)/8:.0f} B, tables ~{tables/8:.0f} B)")
 
 
 if __name__ == "__main__":

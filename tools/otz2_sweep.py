@@ -25,7 +25,7 @@ if os.environ.get("JAX_PLATFORMS"):
 
 import numpy as np
 
-from bench import make_corpus
+from bench import bench_corpus
 from orz_tpu.device import pipeline as pipe
 from orz_tpu.device.spec import CHUNK_INPUT_DEFAULT
 
@@ -57,15 +57,15 @@ def main():
         from orz_tpu.device.spec import OTZ2_SHIFTS as shifts
     level = 2
     n = int(mb * (1 << 20))
-    data = make_corpus(n)
+    data, corpus_name = bench_corpus(n)  # BENCH_CORPUS picks real|synthetic
 
     from orz_tpu.cfg import cfg_from_level
     from orz_tpu.container import encode_bytes
     from orz_tpu.native import NativeBackend
 
     orz_size = len(encode_bytes(data, cfg_from_level(level), NativeBackend()))
-    print(f"otz2 sweep: {mb} MiB, shifts={shifts}, orz l2 = {orz_size} B, "
-          f"device {jax.devices()[0]}", flush=True)
+    print(f"otz2 sweep: {mb} MiB ({corpus_name}), shifts={shifts}, "
+          f"orz l2 = {orz_size} B, device {jax.devices()[0]}", flush=True)
 
     front = pipe.dispatch_segment_front(data, level, CHUNK_INPUT_DEFAULT)
     starts, n_items, pk1, _, _, buf_d = front["front"]

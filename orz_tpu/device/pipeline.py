@@ -361,16 +361,17 @@ def dispatch_segment_mid2(front):
     outputs are still live — nothing here donates them)."""
     if front["empty"]:
         return front
-    from orz_tpu.device.spec import OTZ2_ITERS, OTZ2_SHIFTS
+    from orz_tpu.device.spec import otz2_schedule
 
     starts, n_items, pk1, bestq0, bestro0, buf_d = front["front"]
     seg_len = front["seg_len"]
     plan = masked_plan_jit(buf_d, seg_len)
     st, ni = starts, n_items
-    for _ in range(OTZ2_ITERS):
-        st, ni, pk1 = encode_iter2_jit(buf_d, seg_len, OTZ2_SHIFTS, st, ni,
+    schedule = otz2_schedule()
+    for shifts in schedule:
+        st, ni, pk1 = encode_iter2_jit(buf_d, seg_len, shifts, st, ni,
                                        plan)
-    bq2, bl2 = encode_conform_jit(buf_d, seg_len, OTZ2_SHIFTS, st, ni, plan)
+    bq2, bl2 = encode_conform_jit(buf_d, seg_len, schedule[-1], st, ni, plan)
     del plan  # ~18 n-sized arrays; free before the back program runs
     ni_host = max(int(ni), 1)
     m2_cap = _bucket(ni_host + max(ni_host // 4, 4096), 1 << 14, 2)

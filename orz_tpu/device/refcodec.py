@@ -160,7 +160,7 @@ SCORE_W = 32
 
 def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
                 start_mask: np.ndarray | None = None,
-                words_mode: int = 0) -> Analysis:
+                words_mode: int = 0, near_depth: int = 0) -> Analysis:
     """Sequential per-position analysis (the oracle for ops/analyze.py).
 
     start_mask (OTZ2, spec.py): candidates are restricted to positions in
@@ -175,7 +175,11 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
     mask positions s (the previous parse's item starts, approximating the
     decoder's item-end rule: the decoder additionally skips updates after
     WORD items — emission validates word items against the exact final
-    state and demotes mismatches)."""
+    state and demotes mismatches).
+
+    near_depth > 0 (requires start_mask): window entries past near_depth
+    are considered only when the QUERY position is itself masked (the
+    device kernel's deep-window gating, ops/match_pallas.py near_depth)."""
     n = len(buf)
     end = PAD_FRONT + seg_len
     cctx = cctx_all(buf)
@@ -220,8 +224,11 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
         cap = min(FENCE - ((p - PAD_FRONT) % FENCE), end - p)
         chain = chains.get(mkey[p])
         bestw, bro, blen, bq = 0, -1, 0, 0
+        win = depth
+        if near_depth and start_mask is not None and not start_mask[p]:
+            win = min(depth, near_depth)  # deep window is for mask queries
         if chain:
-            for q in chain[-1 : -depth - 1 : -1]:
+            for q in chain[-1 : -win - 1 : -1]:
                 if start_mask is not None:
                     if not start_mask[q]:
                         continue
@@ -597,8 +604,10 @@ def encode_segment_ref(data: bytes, level: int = 1,
 
     rings_mode None picks the level default (spec.otz2_enabled); 1 runs the
     OTZ2 item-start-ring path: a masked re-analysis over the base parse's
-    item starts, then demotion repair (spec.py OTZ2 block)."""
-    from orz_tpu.device.spec import OTZ2_ITERS, OTZ2_SHIFTS, otz2_enabled
+    item starts, then demotion repair (spec.py OTZ2 block).  The iteration
+    shift depths follow spec.otz2_schedule(), with deep shifts gated to
+    mask queries past OTZ2_NEAR — mirroring the device pipeline."""
+    from orz_tpu.device.spec import OTZ2_NEAR, otz2_enabled, otz2_schedule
 
     if rings_mode is None:
         rings_mode = int(otz2_enabled(level))
@@ -611,21 +620,32 @@ def encode_segment_ref(data: bytes, level: int = 1,
     buf = pad_segment(data)
     an = analyze_ref(buf, len(data), candidate_depth(level))
     items = None
+    words_mode = 0
     if rings_mode:
         walk = parse_walk(an, buf, len(data))
-        for k in range(OTZ2_ITERS):
+        schedule = otz2_schedule()
+        for shifts in schedule:
             mask = np.zeros(len(buf), dtype=bool)
             mask[walk[0]] = True
-            an2 = analyze_ref(buf, len(data), OTZ2_SHIFTS, start_mask=mask)
-            if k < OTZ2_ITERS - 1:
-                walk = parse_walk(an2, buf, len(data))
-        items = parse_ref(an2, buf, len(data), rings_mode=1, walk=walk)
+            an2 = analyze_ref(
+                buf, len(data), shifts, start_mask=mask, words_mode=1,
+                near_depth=OTZ2_NEAR if shifts > OTZ2_NEAR else 0)
+            walk = parse_walk(an2, buf, len(data))
+        mask = np.zeros(len(buf), dtype=bool)
+        mask[walk[0]] = True
+        an2 = analyze_ref(
+            buf, len(data), schedule[-1], start_mask=mask, words_mode=1,
+            near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0)
+        items = parse_ref(an2, buf, len(data), rings_mode=1, walk=walk,
+                          words_mode=1)
         if items is None:  # repair did not converge: OTZ1 fallback
             rings_mode = 0
+        else:
+            words_mode = 1
     if items is None:
         items = parse_ref(an, buf, len(data))
     return _finish_segment_stream(enc, items, len(data), chunk_input,
-                                  rings_mode)
+                                  rings_mode, words_mode=words_mode)
 
 
 def _finish_segment_stream(enc: BitEncoder, items: Items, raw_len: int,

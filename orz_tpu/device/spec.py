@@ -103,16 +103,33 @@ FENCE = 4096
 import os as _os_otz2
 
 OTZ2_SHIFTS = int(_os_otz2.environ.get("OTZ2_SHIFTS", "96"))
-# sorted-space shift window for the masked candidate loop
-OTZ2_NEAR = int(_os_otz2.environ.get("OTZ2_NEAR", "0"))
-# >0: shifts past this accept candidates only for queries that are
-# themselves previous item starts (ops/match_pallas.py near_depth) —
-# the deep-window experiment knob; 0 = all queries see the full window
+# sorted-space shift window for the masked candidate loop (legacy uniform
+# knob; OTZ2_SCHEDULE supersedes it when set)
+OTZ2_NEAR = int(_os_otz2.environ.get("OTZ2_NEAR", "96"))
+# shifts past this accept candidates only for queries that are themselves
+# previous item starts (ops/match_pallas.py near_depth): at item-start mask
+# density ~0.2 the deep window mostly re-prices existing items, and gating
+# it that way is quality-equivalent (measured 100.20% vs 100.18% at 1 MiB,
+# 384 shifts); 0 = all queries see the full window
 OTZ2_ITERS = int(_os_otz2.environ.get("OTZ2_ITERS", "6"))
 # masked re-parses before emission (quality knob; measured
 # 256 KiB vs orz -l2: 4 -> 101.01%, 6 -> 100.35%, 8 -> 100.27%, and the
 # conform-analyze + vectorized repair emission matches the re-target repair
 # to 0.03 pt)
+
+
+def otz2_schedule() -> list:
+    """Per-iteration shift depths.  OTZ2_SCHEDULE="96x4,384x6" runs 4 cheap
+    mask-settling iterations then 6 deep re-pricing ones; unset falls back
+    to OTZ2_ITERS uniform iterations at OTZ2_SHIFTS."""
+    s = _os_otz2.environ.get("OTZ2_SCHEDULE", "")
+    if not s:
+        return [OTZ2_SHIFTS] * OTZ2_ITERS
+    out = []
+    for part in s.split(","):
+        v, _, r = part.partition("x")
+        out += [int(v)] * (int(r) if r else 1)
+    return out
 OTZ2_REPAIR_PASSES = 6  # combined offset+word-validation demotion passes
 # Encoder-side reduced-offset cap for rings_mode=1 (the reference's ring
 # depth, src/lz.rs:24).  Measured (512 KiB synthetic text, depth 45): with

@@ -412,7 +412,10 @@ def _analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
     best_q_s, best_ro_s, best_len_s = match_depth_pallas(
         msk, msp, rank_s, tuple(dw_s), end, depth, mask_s=mask_s,
         ro_cap=OTZ2_RO_CAP if mask is not None else RING,
-        near_depth=OTZ2_NEAR if mask is not None else 0,
+        # gating only bites past OTZ2_NEAR shifts; at depth <= near the
+        # condition is vacuous and would just bloat the kernel
+        near_depth=(OTZ2_NEAR if mask is not None and depth > OTZ2_NEAR
+                    else 0),
     )
 
     # back to position space (sort on stored position, no scatters); the

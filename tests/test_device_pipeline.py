@@ -68,11 +68,14 @@ def test_device_pathological_inputs():
         assert dev == ref
 
 
-def test_staged_pipeline_stream_identical(rng):
+def test_staged_pipeline_stream_identical(rng, monkeypatch):
     """Front/back staged path (Pallas symrank kernel, interpreted on CPU)
-    must produce the same bytes as the single-program XLA path."""
+    must produce the same bytes as the single-program XLA path.  Pinned to
+    the OTZ1 (rings_mode=0) mode: the monolithic program has no OTZ2 path;
+    OTZ2 stream identity is covered by test_otz2_device."""
     from orz_tpu.device.pipeline import encode_segment_staged
 
+    monkeypatch.setenv("OTZ2", "0")
     for maker, size, lvl in [("text", 10000, 2), ("binary", 6000, 1)]:
         data = (make_text_like if maker == "text" else make_binary_like)(rng, size)
         ref = rc.encode_segment_ref(data, level=lvl, chunk_input=1 << 13, rings_mode=0)

@@ -12,6 +12,14 @@ from orz_tpu.device.pipeline import encode_segment_device, encode_segment_staged
 from orz_tpu.native.otz import decode_segment_native
 
 
+@pytest.fixture(autouse=True)
+def _pin_otz1_mode(monkeypatch):
+    """These tests pin device==staged==oracle STREAM IDENTITY, which is
+    defined on the OTZ1 (rings_mode=0) path — the monolithic program has no
+    OTZ2 mode.  OTZ2 stream identity is covered by test_otz2_device."""
+    monkeypatch.setenv("OTZ2", "0")
+
+
 def _all_roundtrips(data: bytes, level: int, ci: int):
     ref = rc.encode_segment_ref(data, level=level, chunk_input=ci, rings_mode=0)
     dev = encode_segment_device(data, level=level, chunk_input=ci)

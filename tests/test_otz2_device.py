@@ -12,7 +12,7 @@ import numpy as np
 import pytest
 
 import orz_tpu.device.refcodec as rc
-from orz_tpu.device.spec import OTZ2_ITERS, OTZ2_SHIFTS, candidate_depth
+from orz_tpu.device.spec import OTZ2_NEAR, candidate_depth, otz2_schedule
 from orz_tpu.golden.bitio import BitEncoder
 from tests.conftest import make_text_like
 
@@ -22,15 +22,18 @@ def _oracle_otz2(data: bytes) -> bytes:
     n = len(data)
     an = rc.analyze_ref(buf, n, candidate_depth(2))
     walk = rc.parse_walk(an, buf, n)
-    for _ in range(OTZ2_ITERS):
+    schedule = otz2_schedule()
+    for shifts in schedule:
         mask = np.zeros(len(buf), dtype=bool)
         mask[walk[0]] = True
-        an = rc.analyze_ref(buf, n, OTZ2_SHIFTS, start_mask=mask,
-                            words_mode=1)
+        an = rc.analyze_ref(buf, n, shifts, start_mask=mask, words_mode=1,
+                            near_depth=OTZ2_NEAR if shifts > OTZ2_NEAR else 0)
         walk = rc.parse_walk(an, buf, n)
     mask = np.zeros(len(buf), dtype=bool)
     mask[walk[0]] = True
-    an2 = rc.analyze_ref(buf, n, OTZ2_SHIFTS, start_mask=mask, words_mode=1)
+    an2 = rc.analyze_ref(
+        buf, n, schedule[-1], start_mask=mask, words_mode=1,
+        near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0)
     items = rc.parse_ref(an2, buf, n, rings_mode=1, walk=walk, words_mode=1)
     assert items is not None
     enc = BitEncoder()

@@ -15,11 +15,15 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import numpy as np
 
-from bench import make_corpus
+from bench import bench_corpus
 from orz_tpu.device import pipeline as pipe
-from orz_tpu.device.spec import CHUNK_INPUT_DEFAULT, OTZ2_SHIFTS
+from orz_tpu.device.spec import CHUNK_INPUT_DEFAULT, otz2_schedule
 
 
 def sync(x):
@@ -28,12 +32,12 @@ def sync(x):
 
 def main():
     mb = float(sys.argv[1]) if len(sys.argv) > 1 else 4
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     level = 2
     n = int(mb * (1 << 20))
-    data = make_corpus(n)
+    data, cname = bench_corpus(n)
+    schedule = otz2_schedule()
     ci = CHUNK_INPUT_DEFAULT
-    print(f"otz2 profile: {mb} MiB, iters={iters}, shifts={OTZ2_SHIFTS}, "
+    print(f"otz2 profile: {mb} MiB ({cname}), schedule={schedule}, "
           f"device {jax.devices()[0]}", flush=True)
 
     def run(tag):
@@ -44,17 +48,22 @@ def main():
 
         starts, n_items, pk1, bestq0, bestro0, buf_d = front["front"]
         seg_len = front["seg_len"]
+        tp0 = time.perf_counter()
+        plan = pipe.masked_plan_jit(buf_d, seg_len)
+        sync(plan.sp_h2)
+        t_plan = time.perf_counter() - tp0
         st, ni = starts, n_items
         t_it = []
-        for _ in range(iters):
+        for shifts in schedule:
             ta = time.perf_counter()
             st, ni, pk1_i = pipe.encode_iter2_jit(buf_d, seg_len,
-                                                  OTZ2_SHIFTS, st, ni)
+                                                  shifts, st, ni, plan)
             sync(st)
             t_it.append(time.perf_counter() - ta)
             pk1 = pk1_i
         t2 = time.perf_counter()
-        bq2, bl2 = pipe.encode_conform_jit(buf_d, seg_len, OTZ2_SHIFTS, st, ni)
+        bq2, bl2 = pipe.encode_conform_jit(buf_d, seg_len, schedule[-1],
+                                           st, ni, plan)
         sync(bq2)
         t3 = time.perf_counter()
         ni_host = max(int(ni), 1)
@@ -72,7 +81,8 @@ def main():
         payload = pipe.finish_segment(data, back, ci)
         t6 = time.perf_counter()
         its = " ".join(f"{t:.3f}" for t in t_it)
-        print(f"{tag}: front {t1-t0:7.3f}  iters [{its}] sum {t2-t1:7.3f}  "
+        print(f"{tag}: front {t1-t0:7.3f}  plan {t_plan:7.3f}  iters [{its}] "
+              f"sum {t2-t1:7.3f}  "
               f"conform {t3-t2:7.3f}  mid2 {t4-t3:7.3f}  back {t5-t4:7.3f}  "
               f"asm {t6-t5:7.3f}  total {t6-t0:7.3f}s -> "
               f"{n/(t6-t0)/1e6:6.2f} MB/s  ok={bool(ok)} "

@@ -52,8 +52,17 @@ def main():
     mb = float(sys.argv[1]) if len(sys.argv) > 1 else 1
     checkpoints = ([int(v) for v in sys.argv[2].split(",")]
                    if len(sys.argv) > 2 else [4, 6, 8, 10, 12])
-    shifts = int(sys.argv[3]) if len(sys.argv) > 3 else None
-    if shifts is None:
+    # shifts: either one int (uniform) or a schedule "96x4,384x8" giving the
+    # shift depth per iteration (last entry repeats past the end)
+    if len(sys.argv) > 3 and ("x" in sys.argv[3] or "," in sys.argv[3]):
+        sched = []
+        for part in sys.argv[3].split(","):
+            v, _, r = part.partition("x")
+            sched += [int(v)] * (int(r) if r else 1)
+        shifts = sched
+    elif len(sys.argv) > 3:
+        shifts = int(sys.argv[3])
+    else:
         from orz_tpu.device.spec import OTZ2_SHIFTS as shifts
     level = 2
     n = int(mb * (1 << 20))
@@ -73,20 +82,30 @@ def main():
     plan = pipe.masked_plan_jit(buf_d, seg_len)
     st, ni = starts, n_items
     it = 0
+
+    def shift_at(i):
+        if isinstance(shifts, list):
+            return shifts[min(i, len(shifts) - 1)]
+        return shifts
+
+    prev_starts = None
     for ck in sorted(checkpoints):
         t0 = time.perf_counter()
         while it < ck:
-            st, ni, pk1 = pipe.encode_iter2_jit(buf_d, seg_len, shifts, st,
-                                                ni, plan)
+            st, ni, pk1 = pipe.encode_iter2_jit(buf_d, seg_len, shift_at(it),
+                                                st, ni, plan)
             it += 1
         sync(st)
         t_iter = time.perf_counter() - t0
-        payload, ok = pipe.payload_at(front, st, ni, pk1, plan, shifts) \
-            if hasattr(pipe, "payload_at") else payload_at(front, st, ni, pk1,
-                                                           plan, shifts)
+        # mask churn vs the previous checkpoint (fixed-point stability)
+        cur_starts = set(np.asarray(st)[: int(ni)].tolist())
+        delta = (len(cur_starts ^ prev_starts)
+                 if prev_starts is not None else -1)
+        prev_starts = cur_starts
+        payload, ok = payload_at(front, st, ni, pk1, plan, shift_at(it))
         print(f"  iters={it:3d}: n_items={int(ni):8d} size={len(payload):8d} "
               f"({len(payload)/orz_size*100:6.2f}% of orz) ok={ok} "
-              f"[{t_iter:.2f}s iter]", flush=True)
+              f"dstarts={delta} [{t_iter:.2f}s iter]", flush=True)
 
 
 if __name__ == "__main__":

@@ -103,10 +103,12 @@ struct BitDec {
   }
 };
 
-// flat-LUT canonical Huffman decoding (reference src/huffman.rs:144-168)
+// flat-LUT canonical Huffman decoding (reference src/huffman.rs:144-168).
+// One packed uint16 per LUT slot (sym in bits 0..8, code len in bits 12..15):
+// halves the table footprint vs separate sym/len arrays — three live tables
+// at max_code_len 15 are 3 x 64 KiB, which matters for L2 residency.
 struct HuffDec {
-  std::vector<uint16_t> lut_sym;
-  std::vector<uint8_t> lut_len;
+  std::vector<uint16_t> lut;
   int max_code_len = 0;
 
   bool build(BitDec& bd, int nsym_max) {
@@ -126,8 +128,7 @@ struct HuffDec {
       lens[sym] = max_code_len - (int)sub;
       last_sym = sym;
     }
-    lut_sym.assign((size_t)1 << max_code_len, 0);
-    lut_len.assign((size_t)1 << max_code_len, 0);
+    lut.assign((size_t)1 << max_code_len, 0);
     // canonical order by (len, sym)
     uint32_t code = 0;
     int cur_len = 1;
@@ -141,10 +142,8 @@ struct HuffDec {
         uint64_t base = (uint64_t)code << rest;
         uint64_t span = (uint64_t)1 << rest;
         if (base + span > cap) return false;  // corrupt table: Kraft overflow
-        for (uint64_t k = 0; k < span; k++) {
-          lut_sym[base + k] = (uint16_t)s;
-          lut_len[base + k] = (uint8_t)l;
-        }
+        uint16_t packed = (uint16_t)(s | (l << 12));
+        for (uint64_t k = 0; k < span; k++) lut[base + k] = packed;
         code++;
       }
     }
@@ -152,10 +151,10 @@ struct HuffDec {
   }
   int decode(BitDec& bd) {
     bd.reserve32();
-    if (max_code_len == 0) return lut_sym.empty() ? 0 : lut_sym[0];
-    uint32_t peeked = bd.peek(max_code_len);
-    bd.skip(lut_len[peeked]);
-    return lut_sym[peeked];
+    if (max_code_len == 0) return lut.empty() ? 0 : (lut[0] & 0x1FF);
+    uint16_t e = lut[bd.peek(max_code_len)];
+    bd.skip(e >> 12);
+    return e & 0x1FF;
   }
 };
 
@@ -327,6 +326,7 @@ struct Decoder {
       if (!tabB.build(bd, N_SYM)) return -4;
       if (!tabC.build(bd, TABC_SIZE)) return -4;
 
+      HuffDec* tabAB[2] = {&tabB, &tabA};  // indexed by after_literal
       for (int64_t it = 0; it < n_items; it++) {
         if (p >= end || bd.fail) return -5;
         {
@@ -345,7 +345,7 @@ struct Decoder {
         int sym;
         {
           PROF(1);
-          sym = (after_literal ? tabA : tabB).decode(bd);
+          sym = tabAB[(int)after_literal]->decode(bd);
         }
         if (sym >= N_SYM) return -6;
         int v;

@@ -137,6 +137,7 @@ def main() -> int:
     # compute rate, so this is the headline metric (end-to-end reported
     # alongside it in `extra`).
     gbps_c = 0.0
+    gbps_otz1 = 0.0
     try:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -171,6 +172,26 @@ def main() -> int:
         print(f"bench: device compute {gbps_c*1000:.1f} MB/s "
               f"({reps} segments x {len(seg)>>20} MiB, 4 in flight)",
               file=sys.stderr)
+
+        # the OTZ1 (bytes-ring, OTZ2=0) throughput mode for contrast when
+        # the default is the OTZ2 quality path
+        if otz2_enabled(level) and os.environ.get("BENCH_OTZ1_SPEED", "1") == "1":
+            def _compute_otz1(_):
+                front = _pipe.dispatch_segment_front(
+                    seg, level, _pipe.CHUNK_INPUT_DEFAULT, staged_buf=staged
+                )
+                mid = _pipe.dispatch_segment_mid(front)
+                back = _pipe.dispatch_segment_back(mid)
+                np.asarray(back["out"].meta[0])
+
+            _compute_otz1(0)
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                t1 = time.perf_counter()
+                list(pool.map(_compute_otz1, range(reps)))
+                dt1 = (time.perf_counter() - t1) / reps
+            gbps_otz1 = len(seg) / dt1 / 1e9
+            print(f"bench: OTZ1 throughput mode (OTZ2=0) device compute "
+                  f"{gbps_otz1*1000:.1f} MB/s", file=sys.stderr)
     except Exception as e:
         print(f"bench: device compute measurement skipped: {e}", file=sys.stderr)
 
@@ -232,6 +253,7 @@ def main() -> int:
         "vs_baseline": round(best / ORZ_L2_BASELINE_GBPS, 3),
         "extra": {
             "compute_GBps": round(gbps_c, 4),
+            "compute_otz1_GBps": round(gbps_otz1, 4),
             "end_to_end_GBps": round(gbps, 4),
             "decode_MBps": round(decode_mbps, 1),
             "ratio": round(ratio, 4),

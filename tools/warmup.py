@@ -92,6 +92,15 @@ def warm_segment(mib: float) -> None:
         raise RuntimeError("warmup round-trip FAILED")
     print("  round-trip ok", flush=True)
 
+    # the OTZ1 contrast path bench.py also measures (mid/back buckets)
+    t0 = time.perf_counter()
+    front = pipe.dispatch_segment_front(data, 2, CHUNK_INPUT_DEFAULT)
+    mid = pipe.dispatch_segment_mid(front)
+    back = pipe.dispatch_segment_back(mid)
+    payload = pipe.finish_segment(data, back, CHUNK_INPUT_DEFAULT)
+    print(f"  otz1 mid+back {time.perf_counter()-t0:.1f}s "
+          f"({len(payload)} B)", flush=True)
+
 
 def main():
     sizes = [float(a) for a in sys.argv[1:]] or [8, 2]

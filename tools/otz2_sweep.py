@@ -45,7 +45,11 @@ def payload_at(front, st, ni, pk1, plan, shifts):
     mid = dict(front)
     mid.update(items=items, r1=r1, rounds=rounds, rings_mode=1)
     back = pipe.dispatch_segment_back(mid)
-    return pipe.finish_segment(front["data"], back, front["chunk_input"]), bool(ok)
+    payload = pipe.finish_segment(front["data"], back, front["chunk_input"])
+    # demotion diagnostic: repair only ADDS items (demoted spans expand to
+    # length-1 literals), so emitted-minus-walk items counts the damage
+    demoted = int(items.n_items) - int(ni)
+    return payload, bool(ok), demoted
 
 
 def main():
@@ -102,10 +106,12 @@ def main():
         delta = (len(cur_starts ^ prev_starts)
                  if prev_starts is not None else -1)
         prev_starts = cur_starts
-        payload, ok = payload_at(front, st, ni, pk1, plan, shift_at(it))
+        payload, ok, demoted = payload_at(front, st, ni, pk1, plan,
+                                          shift_at(it))
         print(f"  iters={it:3d}: n_items={int(ni):8d} size={len(payload):8d} "
               f"({len(payload)/orz_size*100:6.2f}% of orz) ok={ok} "
-              f"dstarts={delta} [{t_iter:.2f}s iter]", flush=True)
+              f"dstarts={delta} demoted={demoted} [{t_iter:.2f}s iter]",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -225,18 +225,10 @@ def main() -> int:
     if level >= 2 and os.environ.get("BENCH_OTZ1_RATIO", "0") == "1":
         try:
             s2 = data[: min(len(data), 2 << 20)]
-            saved = os.environ.get("OTZ2")
-            os.environ["OTZ2"] = "0"
-            try:
-                otz1 = tpu_encode_bytes(s2, level=level, segment_size=2 << 20,
-                                        num_streams=1)
-                if tpu_decode_bytes(otz1) != s2:
-                    raise RuntimeError("OTZ1 round-trip failed")
-            finally:
-                if saved is None:
-                    os.environ.pop("OTZ2", None)
-                else:
-                    os.environ["OTZ2"] = saved
+            otz1 = tpu_encode_bytes(s2, level=level, segment_size=2 << 20,
+                                    num_streams=1, rings_mode=0)
+            if tpu_decode_bytes(otz1) != s2:
+                raise RuntimeError("OTZ1 round-trip failed")
             orz2 = _orz_size(s2, level)
             print(f"bench: OTZ1 mode (OTZ2=0) vs orz l{level} on 2MiB "
                   f"sample: otz1={len(otz1)} orz={orz2} "

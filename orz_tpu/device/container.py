@@ -38,13 +38,15 @@ def tpu_encode(
     chunk_input: int = CHUNK_INPUT_DEFAULT,
     batch: int = DEFAULT_BATCH,
     progress: ProgressLogger | None = None,
+    rings_mode: int | None = None,
 ) -> None:
     """Stream-encode into the ORZT container with `batch` segments in
     flight, each on its own thread (JAX dispatch is thread-safe and the
     device executes the queued programs in order): the blocking host syncs
     of one segment (n_items fetch, symrank plan fetch, payload fetch — each
     a full host<->device round trip) overlap device compute and syncs of
-    the others.  `num_streams` (the CLI's -p) is an alias for `batch`."""
+    the others.  `num_streams` (the CLI's -p) is an alias for `batch`.
+    rings_mode: None = level default; 0/1 force OTZ1/OTZ2 explicitly."""
     if num_streams is not None:
         batch = num_streams
     from orz_tpu.device.pipeline import encode_segment_staged
@@ -52,7 +54,8 @@ def tpu_encode(
 
     pipe_encode(
         source, target,
-        lambda seg: encode_segment_staged(seg, level, chunk_input),
+        lambda seg: encode_segment_staged(seg, level, chunk_input,
+                                          rings_mode=rings_mode),
         TPU_MAGIC, segment_size, max(batch, 1), progress,
     )
 

@@ -624,20 +624,35 @@ def encode_segment_ref(data: bytes, level: int = 1,
     if rings_mode:
         walk = parse_walk(an, buf, len(data))
         schedule = otz2_schedule()
+        prev_walk = None
         for shifts in schedule:
+            prev_walk = walk
             mask = np.zeros(len(buf), dtype=bool)
             mask[walk[0]] = True
             an2 = analyze_ref(
                 buf, len(data), shifts, start_mask=mask, words_mode=1,
                 near_depth=OTZ2_NEAR if shifts > OTZ2_NEAR else 0)
             walk = parse_walk(an2, buf, len(data))
-        mask = np.zeros(len(buf), dtype=bool)
-        mask[walk[0]] = True
-        an2 = analyze_ref(
-            buf, len(data), schedule[-1], start_mask=mask, words_mode=1,
-            near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0)
-        items = parse_ref(an2, buf, len(data), rings_mode=1, walk=walk,
-                          words_mode=1)
+
+        def emit_at(w):
+            """Conform analysis at w's own starts, then repair/emit; the
+            demotion count (repair only ADDS items) ranks candidates —
+            mirrors pipeline.dispatch_segment_mid2's best-of-2."""
+            mask = np.zeros(len(buf), dtype=bool)
+            mask[w[0]] = True
+            an_c = analyze_ref(
+                buf, len(data), schedule[-1], start_mask=mask, words_mode=1,
+                near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0)
+            it = parse_ref(an_c, buf, len(data), rings_mode=1, walk=w,
+                           words_mode=1)
+            return it, (len(it.start) - len(w[0]) if it is not None else -1)
+
+        cand = [emit_at(walk)]
+        thr = max(1024, len(walk[0]) >> 7)  # pipeline's anomaly threshold
+        if prev_walk is not None and (cand[0][0] is None or cand[0][1] > thr):
+            cand.append(emit_at(prev_walk))
+        cand = [c for c in cand if c[0] is not None]
+        items = min(cand, key=lambda c: c[1])[0] if cand else None
         if items is None:  # repair did not converge: OTZ1 fallback
             rings_mode = 0
         else:

@@ -119,12 +119,19 @@ OTZ2_ITERS = int(_os_otz2.environ.get("OTZ2_ITERS", "6"))
 
 
 def otz2_schedule() -> list:
-    """Per-iteration shift depths.  OTZ2_SCHEDULE="96x4,384x6" runs 4 cheap
-    mask-settling iterations then 6 deep re-pricing ones; unset falls back
-    to OTZ2_ITERS uniform iterations at OTZ2_SHIFTS."""
+    """Per-iteration shift depths.  The default runs 4 cheap mask-settling
+    iterations at 96 shifts then 8 deep re-pricing ones at 384 (the
+    convergence knee measured at 8 MiB real corpus: iters 8/10/12 =
+    101.1/102.8/100.5% of orz -l2 — with emission best-of-2 smoothing the
+    phase spikes, see pipeline.dispatch_segment_mid2).  Override with
+    OTZ2_SCHEDULE="96x4,384x6"-style strings, or OTZ2_ITERS/OTZ2_SHIFTS
+    for uniform schedules."""
     s = _os_otz2.environ.get("OTZ2_SCHEDULE", "")
     if not s:
-        return [OTZ2_SHIFTS] * OTZ2_ITERS
+        if _os_otz2.environ.get("OTZ2_ITERS") or _os_otz2.environ.get(
+                "OTZ2_SHIFTS"):
+            return [OTZ2_SHIFTS] * OTZ2_ITERS
+        return [96] * 4 + [384] * 8
     out = []
     for part in s.split(","):
         v, _, r = part.partition("x")

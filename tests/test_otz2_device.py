@@ -23,18 +23,30 @@ def _oracle_otz2(data: bytes) -> bytes:
     an = rc.analyze_ref(buf, n, candidate_depth(2))
     walk = rc.parse_walk(an, buf, n)
     schedule = otz2_schedule()
+    prev_walk = None
     for shifts in schedule:
+        prev_walk = walk
         mask = np.zeros(len(buf), dtype=bool)
         mask[walk[0]] = True
         an = rc.analyze_ref(buf, n, shifts, start_mask=mask, words_mode=1,
                             near_depth=OTZ2_NEAR if shifts > OTZ2_NEAR else 0)
         walk = rc.parse_walk(an, buf, n)
-    mask = np.zeros(len(buf), dtype=bool)
-    mask[walk[0]] = True
-    an2 = rc.analyze_ref(
-        buf, n, schedule[-1], start_mask=mask, words_mode=1,
-        near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0)
-    items = rc.parse_ref(an2, buf, n, rings_mode=1, walk=walk, words_mode=1)
+
+    def emit_at(w):
+        mask = np.zeros(len(buf), dtype=bool)
+        mask[w[0]] = True
+        an_c = rc.analyze_ref(
+            buf, n, schedule[-1], start_mask=mask, words_mode=1,
+            near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0)
+        it = rc.parse_ref(an_c, buf, n, rings_mode=1, walk=w, words_mode=1)
+        return it, (len(it.start) - len(w[0]) if it is not None else -1)
+
+    cand = [emit_at(walk)]
+    thr = max(1024, len(walk[0]) >> 7)  # pipeline's anomaly threshold
+    if cand[0][0] is None or cand[0][1] > thr:
+        cand.append(emit_at(prev_walk))
+    cand = [c for c in cand if c[0] is not None]
+    items = min(cand, key=lambda c: c[1])[0]
     assert items is not None
     enc = BitEncoder()
     enc.encode_varint(n)

@@ -220,6 +220,26 @@ def main() -> int:
     except Exception as e:  # size check is informational
         print(f"bench: orz size comparison skipped: {e}", file=sys.stderr)
 
+    # second ratio point on the OTHER corpus kind (both kinds matter: the
+    # real mix is non-self-authored; the synthetic one is the historical
+    # comparison axis), unless disabled
+    ratio_vs_orz_alt = None
+    if os.environ.get("BENCH_ALT_RATIO", "1") == "1":
+        try:
+            alt = (make_corpus if corpus_name == "real" else
+                   __import__("tools.real_corpus", fromlist=["x"]).make_real_corpus)
+            alt_name = "synthetic" if corpus_name == "real" else "real"
+            s_alt = alt(min(len(data), 8 << 20))
+            orz_alt = _orz_size(s_alt, level)
+            otz_alt = len(tpu_encode_bytes(s_alt, level=level,
+                                           segment_size=segment_size))
+            ratio_vs_orz_alt = otz_alt / orz_alt
+            print(f"bench: size vs orz l{level} on 8MiB {alt_name} sample: "
+                  f"otz={otz_alt} orz={orz_alt} ({ratio_vs_orz_alt*100:.2f}%)",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"bench: alt-corpus ratio skipped: {e}", file=sys.stderr)
+
     # legacy OTZ1 (bytes-only rings) comparison point, off by default: it
     # costs another encode of the sample
     if level >= 2 and os.environ.get("BENCH_OTZ1_RATIO", "0") == "1":
@@ -251,6 +271,9 @@ def main() -> int:
             "ratio": round(ratio, 4),
             "ratio_vs_orz_l2": (round(ratio_vs_orz, 4)
                                 if ratio_vs_orz is not None else None),
+            "ratio_vs_orz_l2_alt_corpus": (round(ratio_vs_orz_alt, 4)
+                                           if ratio_vs_orz_alt is not None
+                                           else None),
             "corpus": corpus_name,
             "warmup_s": round(warmup_s, 1),
         },

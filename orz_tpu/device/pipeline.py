@@ -373,9 +373,9 @@ def dispatch_segment_mid2(front):
     plan = masked_plan_jit(buf_d, seg_len)
     st, ni = starts, n_items
     schedule = otz2_schedule()
-    prev = None
+    hist = []  # (st, ni, pk1) of recent iterates, newest last
     for shifts in schedule:
-        prev = (st, ni, pk1)
+        hist = hist[-2:] + [(st, ni, pk1)]
         st, ni, pk1 = encode_iter2_jit(buf_d, seg_len, shifts, st, ni,
                                        plan)
 
@@ -391,11 +391,15 @@ def dispatch_segment_mid2(front):
         return items, bool(ok), r1, rounds, demoted
 
     cand = [emit_at(st, ni, pk1)]
-    # only pay for the second evaluation when the last iterate's demotions
-    # look anomalous (> ~0.8% of items; good iterates measure 0.2-0.6%)
+    # only pay for extra evaluations when the newest iterate's demotions
+    # look anomalous (> ~0.8% of items; good iterates measure 0.2-0.6%);
+    # fall back through up to two older iterates — consecutive bad phases
+    # were observed (uniform-384 scan: iterates 13 AND 14 both spiked)
     thr = max(1024, int(ni) >> 7)
-    if prev is not None and (not cand[0][1] or cand[0][4] > thr):
-        cand.append(emit_at(*prev))
+    for older in reversed(hist):
+        if cand[-1][1] and cand[-1][4] <= thr:
+            break
+        cand.append(emit_at(*older))
     del plan  # ~18 n-sized arrays; free before the back program runs
     cand = [c for c in cand if c[1]]
     if not cand:

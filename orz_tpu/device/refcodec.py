@@ -624,9 +624,9 @@ def encode_segment_ref(data: bytes, level: int = 1,
     if rings_mode:
         walk = parse_walk(an, buf, len(data))
         schedule = otz2_schedule()
-        prev_walk = None
+        hist = []  # recent walks, newest last (pipeline keeps 3 candidates)
         for shifts in schedule:
-            prev_walk = walk
+            hist = hist[-2:] + [walk]
             mask = np.zeros(len(buf), dtype=bool)
             mask[walk[0]] = True
             an2 = analyze_ref(
@@ -649,8 +649,10 @@ def encode_segment_ref(data: bytes, level: int = 1,
 
         cand = [emit_at(walk)]
         thr = max(1024, len(walk[0]) >> 7)  # pipeline's anomaly threshold
-        if prev_walk is not None and (cand[0][0] is None or cand[0][1] > thr):
-            cand.append(emit_at(prev_walk))
+        for older in reversed(hist):
+            if cand[-1][0] is not None and cand[-1][1] <= thr:
+                break
+            cand.append(emit_at(older))
         cand = [c for c in cand if c[0] is not None]
         items = min(cand, key=lambda c: c[1])[0] if cand else None
         if items is None:  # repair did not converge: OTZ1 fallback

@@ -23,9 +23,9 @@ def _oracle_otz2(data: bytes) -> bytes:
     an = rc.analyze_ref(buf, n, candidate_depth(2))
     walk = rc.parse_walk(an, buf, n)
     schedule = otz2_schedule()
-    prev_walk = None
+    hist = []
     for shifts in schedule:
-        prev_walk = walk
+        hist = hist[-2:] + [walk]
         mask = np.zeros(len(buf), dtype=bool)
         mask[walk[0]] = True
         an = rc.analyze_ref(buf, n, shifts, start_mask=mask, words_mode=1,
@@ -43,8 +43,10 @@ def _oracle_otz2(data: bytes) -> bytes:
 
     cand = [emit_at(walk)]
     thr = max(1024, len(walk[0]) >> 7)  # pipeline's anomaly threshold
-    if cand[0][0] is None or cand[0][1] > thr:
-        cand.append(emit_at(prev_walk))
+    for older in reversed(hist):
+        if cand[-1][0] is not None and cand[-1][1] <= thr:
+            break
+        cand.append(emit_at(older))
     cand = [c for c in cand if c[0] is not None]
     items = min(cand, key=lambda c: c[1])[0]
     assert items is not None

@@ -268,6 +268,7 @@ def encode_iter2_jit(buf, seg_len, depth: int, starts_prev, n_items_prev,
 
 @partial(jax.jit, static_argnames=("depth",))
 def encode_conform_jit(buf, seg_len, depth: int, starts, n_items, plan=None):
+    from orz_tpu.device.spec import OTZ2_CONFORM_CAP
     from orz_tpu.ops.analyze import _analyze
 
     n = buf.shape[0]
@@ -276,7 +277,11 @@ def encode_conform_jit(buf, seg_len, depth: int, starts, n_items, plan=None):
     mask = jnp.zeros(n, bool).at[
         jnp.where(valid, starts, n)
     ].set(True, mode="drop")
-    an2 = _analyze(buf, seg_len, depth, mask, words_mode=True, plan=plan)
+    # full-ring search (spec.OTZ2_CONFORM_CAP): a match whose near candidate
+    # died is far cheaper re-targeted at 11-13 raw offset bits than demoted
+    # to literals; far candidates still pay min_match_len_for_ro gates
+    an2 = _analyze(buf, seg_len, depth, mask, words_mode=True, plan=plan,
+                   ro_cap=OTZ2_CONFORM_CAP)
     return an2.bestq, an2.bestlen
 
 

@@ -160,7 +160,8 @@ SCORE_W = 32
 
 def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
                 start_mask: np.ndarray | None = None,
-                words_mode: int = 0, near_depth: int = 0) -> Analysis:
+                words_mode: int = 0, near_depth: int = 0,
+                ro_cap: int | None = None) -> Analysis:
     """Sequential per-position analysis (the oracle for ops/analyze.py).
 
     start_mask (OTZ2, spec.py): candidates are restricted to positions in
@@ -224,17 +225,23 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
         cap = min(FENCE - ((p - PAD_FRONT) % FENCE), end - p)
         chain = chains.get(mkey[p])
         bestw, bro, blen, bq = 0, -1, 0, 0
+        # far tier (conform rescue, ops/match_pallas.py two-tier cap):
+        # candidates past OTZ2_RO_CAP rank strictly below every near one
+        bestw_f, bro_f, blen_f, bq_f = 0, -1, 0, 0
+        eff_cap = OTZ2_RO_CAP if ro_cap is None else ro_cap
         win = depth
         if near_depth and start_mask is not None and not start_mask[p]:
             win = min(depth, near_depth)  # deep window is for mask queries
         if chain:
             for q in chain[-1 : -win - 1 : -1]:
+                far = False
                 if start_mask is not None:
                     if not start_mask[q]:
                         continue
                     ro = scnt_ctx[cctx[p]] - scnt_pos[q] - 1
-                    if ro >= OTZ2_RO_CAP:  # orz's ring depth (spec.py)
+                    if ro >= eff_cap:
                         continue
+                    far = ro >= OTZ2_RO_CAP
                 else:
                     ro = rank[p] - 1 - rank[q]
                 if ro >= RING:
@@ -242,12 +249,19 @@ def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,
                 lw = min(_lcp(buf, q, p, SCORE_W), cap)
                 if lw < min_match_len_for_ro(ro):
                     continue  # far offsets must pay for their raw bits
-                if lw > bestw:
+                if far:
+                    if lw > bestw_f:
+                        bestw_f, bro_f, bq_f = lw, ro, q
+                        blen_f = (min(_lcp(buf, q, p, LZ_MATCH_MAX_LEN), cap)
+                                  if lw >= SCORE_W else lw)
+                elif lw > bestw:
                     bestw, bro, bq = lw, ro, q
                     if lw >= SCORE_W:
                         blen = min(_lcp(buf, q, p, LZ_MATCH_MAX_LEN), cap)
                     else:
                         blen = lw
+        if bro < 0 and bro_f >= 0:  # rescue: no near candidate at all
+            bro, blen, bq = bro_f, blen_f, bq_f
         if bro >= 0:
             if blen >= min_match_len_for_ro(bro):
                 bestlen[p] = blen
@@ -640,9 +654,12 @@ def encode_segment_ref(data: bytes, level: int = 1,
             mirrors pipeline.dispatch_segment_mid2's best-of-2."""
             mask = np.zeros(len(buf), dtype=bool)
             mask[w[0]] = True
+            from orz_tpu.device.spec import OTZ2_CONFORM_CAP
+
             an_c = analyze_ref(
                 buf, len(data), schedule[-1], start_mask=mask, words_mode=1,
-                near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0)
+                near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0,
+                ro_cap=OTZ2_CONFORM_CAP)
             it = parse_ref(an_c, buf, len(data), rings_mode=1, walk=w,
                            words_mode=1)
             return it, (len(it.start) - len(w[0]) if it is not None else -1)

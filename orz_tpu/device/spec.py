@@ -145,6 +145,12 @@ OTZ2_REPAIR_PASSES = 6  # combined offset+word-validation demotion passes
 # far matches cost more in offset bits than they save in literals.  Not a
 # format bound — the stream still carries the extended ROID schedule.
 OTZ2_RO_CAP = 4094
+# The CONFORM analysis (the one emission re-targets against) searches the
+# FULL ring: a match about to be demoted to literals is far cheaper coded
+# with an 11-13 raw-bit offset (the extended ROID schedule reaches 32766,
+# and min_match_len_for_ro still prices far candidates).  Iteration
+# analyses keep OTZ2_RO_CAP so parse pricing matches orz economics.
+OTZ2_CONFORM_CAP = int(_os_otz2.environ.get("OTZ2_CONFORM_CAP", str(RING)))
 
 
 def otz2_enabled(level: int) -> bool:

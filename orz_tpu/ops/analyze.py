@@ -340,7 +340,8 @@ def _lcp_round(dw, qb, pb, width):
 
 def _analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
              mask: jnp.ndarray | None, words_mode: bool = False,
-             plan: MaskedPlan | None = None) -> Analysis:
+             plan: MaskedPlan | None = None,
+             ro_cap: int | None = None) -> Analysis:
     """Full phase-1 analysis of one padded segment (jit, static depth).
 
     mask (OTZ2, spec.py): when given, candidates are restricted to masked
@@ -409,9 +410,16 @@ def _analyze(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int,
     from orz_tpu.device.spec import OTZ2_NEAR, OTZ2_RO_CAP
     from orz_tpu.ops.match_pallas import match_depth_pallas
 
+    ro_cap_near = None
+    if ro_cap is None:
+        ro_cap = OTZ2_RO_CAP if mask is not None else RING
+    elif mask is not None and ro_cap > OTZ2_RO_CAP:
+        # widened (conform) search: far candidates rank strictly below all
+        # near ones — rescue-only (see ops/match_pallas.py two-tier cap)
+        ro_cap_near = OTZ2_RO_CAP
     best_q_s, best_ro_s, best_len_s = match_depth_pallas(
         msk, msp, rank_s, tuple(dw_s), end, depth, mask_s=mask_s,
-        ro_cap=OTZ2_RO_CAP if mask is not None else RING,
+        ro_cap=ro_cap, ro_cap_near=ro_cap_near,
         # gating only bites past OTZ2_NEAR shifts; at depth <= near the
         # condition is vacuous and would just bloat the kernel
         near_depth=(OTZ2_NEAR if mask is not None and depth > OTZ2_NEAR

@@ -57,7 +57,8 @@ def _lcp_w(xors):
 
 
 def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
-                 ro_cap: int = RING, near_depth: int = 0):
+                 ro_cap: int = RING, near_depth: int = 0,
+                 ro_cap_near: int | None = None):
     """masked=True: the OTZ2 candidate loop (spec.py) — only rows whose
     mask payload is 1 may be candidates (they are the previous parse's item
     starts), rank_s is the MASKED in-context prefix count (so ro is a
@@ -155,6 +156,13 @@ def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
                 # recency bonus must stay BELOW one lcp step (1024 > any
                 # depth; 64 overflowed a bucket at masked depth 96)
                 score = jnp.where(ok, lcp * 1024 + (1023 - j), -1)
+                if masked and ro_cap_near is not None and ro_cap_near < ro_cap:
+                    # two-tier cap (conform rescue): candidates past the
+                    # near cap score BELOW every near candidate (far
+                    # offsets cost 11-13 raw bits; they only beat demoting
+                    # the match to literals), ranked among themselves by
+                    # lcp alone
+                    score = jnp.where(ok & (ro >= ro_cap_near), lcp, score)
                 better = score > best_s  # strict: ties keep more recent j
                 return (
                     jnp.maximum(best_s, score),
@@ -194,10 +202,11 @@ def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
     return kernel
 
 
-@partial(jax.jit, static_argnames=("depth", "ro_cap", "near_depth"))
+@partial(jax.jit,
+         static_argnames=("depth", "ro_cap", "near_depth", "ro_cap_near"))
 def match_depth_pallas(msk, msp, rank_s, dw_s, end, depth: int,
                        mask_s=None, ro_cap: int = RING,
-                       near_depth: int = 0):
+                       near_depth: int = 0, ro_cap_near: int | None = None):
     """(best_q_s, best_ro_s, best_len_s) over the sorted arrays.
 
     All inputs are n-length int32 in (mkey, pos)-sorted order; dw_s is a
@@ -238,7 +247,8 @@ def match_depth_pallas(msk, msp, rank_s, dw_s, end, depth: int,
     )
     out = pl.pallas_call(
         _make_kernel(depth, n_arrays, masked=mask_s is not None,
-                     ro_cap=ro_cap, near_depth=near_depth),
+                     ro_cap=ro_cap, near_depth=near_depth,
+                     ro_cap_near=ro_cap_near),
         interpret=jax.default_backend() != "tpu",
         grid=(n_blocks,),
         in_specs=[blk_spec] * n_arrays + [halo_spec] * n_arrays

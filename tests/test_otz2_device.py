@@ -35,9 +35,12 @@ def _oracle_otz2(data: bytes) -> bytes:
     def emit_at(w):
         mask = np.zeros(len(buf), dtype=bool)
         mask[w[0]] = True
+        from orz_tpu.device.spec import OTZ2_CONFORM_CAP
+
         an_c = rc.analyze_ref(
             buf, n, schedule[-1], start_mask=mask, words_mode=1,
-            near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0)
+            near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0,
+            ro_cap=OTZ2_CONFORM_CAP)
         it = rc.parse_ref(an_c, buf, n, rings_mode=1, walk=w, words_mode=1)
         return it, (len(it.start) - len(w[0]) if it is not None else -1)
 

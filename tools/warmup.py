@@ -18,7 +18,6 @@ from __future__ import annotations
 import os
 import sys
 import time
-from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -57,26 +56,21 @@ def warm_segment(mib: float) -> None:
     sync(plan.sp_h2)
     print(f"  plan  compiled+ran in {time.perf_counter()-t0:.1f}s", flush=True)
 
-    # concurrent compiles: every distinct iteration depth + conform, all
-    # shape-identical to the real chain's calls
-    def compile_iter(d):
+    # SEQUENTIAL compiles: every distinct iteration depth + conform, all
+    # shape-identical to the real chain's calls.  (Concurrent compiles from
+    # threads wedged the remote-compile client for >60 min at the 8 MiB
+    # bucket — measured 2026-08-19 — while sequential compiles of the same
+    # programs finish in minutes each.)
+    for d in depths:
         t = time.perf_counter()
         out = pipe.encode_iter2_jit(buf_d, seg_len, d, starts, n_items, plan)
         sync(out[0])
-        return f"iter2({d}) {time.perf_counter()-t:.1f}s"
-
-    def compile_conform():
-        t = time.perf_counter()
-        out = pipe.encode_conform_jit(buf_d, seg_len, depths[-1], starts,
-                                      n_items, plan)
-        sync(out[0])
-        return f"conform({depths[-1]}) {time.perf_counter()-t:.1f}s"
-
-    with ThreadPoolExecutor(max_workers=len(depths) + 1) as pool:
-        futs = [pool.submit(compile_iter, d) for d in depths]
-        futs.append(pool.submit(compile_conform))
-        for f in futs:
-            print("  " + f.result(), flush=True)
+        print(f"  iter2({d}) {time.perf_counter()-t:.1f}s", flush=True)
+    t = time.perf_counter()
+    out = pipe.encode_conform_jit(buf_d, seg_len, depths[-1], starts,
+                                  n_items, plan)
+    sync(out[0])
+    print(f"  conform({depths[-1]}) {time.perf_counter()-t:.1f}s", flush=True)
 
     # real chain for the data-dependent buckets (mid2/back), then assembly
     t0 = time.perf_counter()

@@ -385,7 +385,10 @@ def dispatch_segment_mid2(front):
                                        plan)
 
     def emit_at(st, ni, pk1):
-        bq2, bl2 = encode_conform_jit(buf_d, seg_len, schedule[-1], st, ni,
+        from orz_tpu.device.spec import OTZ2_CONFORM_SHIFTS
+
+        c_shifts = OTZ2_CONFORM_SHIFTS or schedule[-1]
+        bq2, bl2 = encode_conform_jit(buf_d, seg_len, c_shifts, st, ni,
                                       plan)
         ni_host = max(int(ni), 1)
         m2_cap = _bucket(ni_host + max(ni_host // 4, 4096), 1 << 14, 2)

@@ -654,11 +654,13 @@ def encode_segment_ref(data: bytes, level: int = 1,
             mirrors pipeline.dispatch_segment_mid2's best-of-2."""
             mask = np.zeros(len(buf), dtype=bool)
             mask[w[0]] = True
-            from orz_tpu.device.spec import OTZ2_CONFORM_CAP
+            from orz_tpu.device.spec import (OTZ2_CONFORM_CAP,
+                                             OTZ2_CONFORM_SHIFTS)
 
+            c_shifts = OTZ2_CONFORM_SHIFTS or schedule[-1]
             an_c = analyze_ref(
-                buf, len(data), schedule[-1], start_mask=mask, words_mode=1,
-                near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0,
+                buf, len(data), c_shifts, start_mask=mask, words_mode=1,
+                near_depth=OTZ2_NEAR if c_shifts > OTZ2_NEAR else 0,
                 ro_cap=OTZ2_CONFORM_CAP)
             it = parse_ref(an_c, buf, len(data), rings_mode=1, walk=w,
                            words_mode=1)

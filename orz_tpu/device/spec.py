@@ -151,6 +151,11 @@ OTZ2_RO_CAP = 4094
 # and min_match_len_for_ro still prices far candidates).  Iteration
 # analyses keep OTZ2_RO_CAP so parse pricing matches orz economics.
 OTZ2_CONFORM_CAP = int(_os_otz2.environ.get("OTZ2_CONFORM_CAP", str(RING)))
+# Shift window of the conform analysis; 0 = the schedule's last depth.
+# The conform runs once per segment, so a wider window (more replacement
+# candidates for matches whose target stopped being an item start) costs
+# ~0.1 ms per 128 shifts per 2 MiB — cheap relative to demotion damage.
+OTZ2_CONFORM_SHIFTS = int(_os_otz2.environ.get("OTZ2_CONFORM_SHIFTS", "0"))
 
 
 def otz2_enabled(level: int) -> bool:

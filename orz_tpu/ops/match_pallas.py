@@ -188,10 +188,16 @@ def _make_kernel(depth: int, n_arrays: int, masked: bool = False,
             # window took >25 min of Mosaic compile at the 8 MiB bucket; a
             # fori_loop with dynamic rotates compiles in seconds.  One
             # fori per 128-shift band (the down-view pair is static per
-            # band); bands above `depth` don't exist.
-            for a_rows in range(n_down - 1):
+            # band).  Bands run through depth // LANES inclusive: when
+            # depth is an exact multiple of 128 the final shift j == depth
+            # lives alone in the last band at b == 0 (a range(n_down - 1)
+            # loop silently dropped it — "384-shift" windows ran 383 and
+            # missed candidates exactly at chain index 384).
+            for a_rows in range(depth // LANES + 1):
                 b_lo = 1 if a_rows == 0 else 0
                 b_hi = min(LANES, depth + 1 - a_rows * LANES)
+                if b_lo >= b_hi:
+                    continue
                 carry = lax.fori_loop(b_lo, b_hi, make_round(a_rows), carry)
         _, best_q, best_ro, best_len = carry
 

@@ -35,11 +35,13 @@ def _oracle_otz2(data: bytes) -> bytes:
     def emit_at(w):
         mask = np.zeros(len(buf), dtype=bool)
         mask[w[0]] = True
-        from orz_tpu.device.spec import OTZ2_CONFORM_CAP
+        from orz_tpu.device.spec import (OTZ2_CONFORM_CAP,
+                                         OTZ2_CONFORM_SHIFTS)
 
+        c_shifts = OTZ2_CONFORM_SHIFTS or schedule[-1]
         an_c = rc.analyze_ref(
-            buf, n, schedule[-1], start_mask=mask, words_mode=1,
-            near_depth=OTZ2_NEAR if schedule[-1] > OTZ2_NEAR else 0,
+            buf, n, c_shifts, start_mask=mask, words_mode=1,
+            near_depth=OTZ2_NEAR if c_shifts > OTZ2_NEAR else 0,
             ro_cap=OTZ2_CONFORM_CAP)
         it = rc.parse_ref(an_c, buf, n, rings_mode=1, walk=w, words_mode=1)
         return it, (len(it.start) - len(w[0]) if it is not None else -1)
@@ -60,10 +62,16 @@ def _oracle_otz2(data: bytes) -> bytes:
                                      1, 1)
 
 
-def test_otz2_device_stream_identical_and_roundtrip(monkeypatch, rng):
+@pytest.mark.parametrize("seed", [None, 1])
+def test_otz2_device_stream_identical_and_roundtrip(monkeypatch, rng, seed):
+    # seed 1 regression: its data's winning candidate sits exactly at chain
+    # index 384 — the kernel's band loop used to drop the final shift of
+    # exact-multiple-of-128 windows (range(n_down-1) off-by-one)
     monkeypatch.setenv("OTZ2", "1")
     from orz_tpu.device.pipeline import encode_segment_staged
 
+    if seed is not None:
+        rng = np.random.default_rng(seed)
     data = make_text_like(rng, 96 * 1024)
     s_dev = encode_segment_staged(data, level=2)
     assert rc.decode_segment_ref(s_dev) == data

@@ -35,9 +35,13 @@ def sync(x):
 
 
 def payload_at(front, st, ni, pk1, plan, shifts):
+    from orz_tpu.device.spec import OTZ2_CONFORM_SHIFTS
+
     buf_d = front["front"][5]
     seg_len = front["seg_len"]
-    bq2, bl2 = pipe.encode_conform_jit(buf_d, seg_len, shifts, st, ni, plan)
+    bq2, bl2 = pipe.encode_conform_jit(buf_d, seg_len,
+                                       OTZ2_CONFORM_SHIFTS or shifts,
+                                       st, ni, plan)
     ni_host = max(int(ni), 1)
     m2_cap = pipe._bucket(ni_host + max(ni_host // 4, 4096), 1 << 14, 2)
     items, ok, r1, rounds = pipe.encode_mid2_jit(

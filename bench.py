@@ -20,7 +20,9 @@ binaries; the enwik8 the reference benches on is unobtainable offline).
 BENCH_CORPUS=synthetic selects the legacy tuned synthetic corpus.
 
 Env knobs: BENCH_MB (corpus MiB, default 32), BENCH_LEVEL (default 2),
-BENCH_SEGMENT_MB (default 8), BENCH_CORPUS (real|synthetic, default real),
+BENCH_SEGMENT_MB (default 2 — the largest OTZ2 bucket that compiles over
+this dev harness's remote-compile tunnel; use 8 on real TPU hosts),
+BENCH_CORPUS (real|synthetic, default real),
 OTZ2 (=0 forces the legacy OTZ1 bytes-ring mode off the default quality
 path), BENCH_OTZ1_RATIO (=1 adds an OTZ1-mode ratio line for comparison).
 """
@@ -98,7 +100,15 @@ def _orz_size(sample: bytes, level: int) -> int:
 def main() -> int:
     mb = int(os.environ.get("BENCH_MB", "32"))
     level = int(os.environ.get("BENCH_LEVEL", "2"))
-    seg_mb = int(os.environ.get("BENCH_SEGMENT_MB", "8"))
+    # Default segment bucket: 2 MiB — the largest OTZ2 iteration program
+    # that compiles over this dev harness's remote-compile tunnel.  The
+    # 8 MiB program was dropped once (~50 min, "Unexpected EOF") and wedged
+    # >75 min twice across two sessions; the 4 MiB one wedged >45 min.  On a
+    # real TPU host with local XLA these programs compile in minutes and the
+    # 8 MiB bucket is preferred (BENCH_SEGMENT_MB=8).  Ratio at 8 MiB
+    # single-segment is tracked on the CPU backend in STATUS.md (streams are
+    # backend-identical by construction).
+    seg_mb = int(os.environ.get("BENCH_SEGMENT_MB", "2"))
     segment_size = seg_mb << 20
 
     import jax

@@ -24,7 +24,11 @@ BENCH_SEGMENT_MB (default 2 — the largest OTZ2 bucket that compiles over
 this dev harness's remote-compile tunnel; use 8 on real TPU hosts),
 BENCH_CORPUS (real|synthetic, default real),
 OTZ2 (=0 forces the legacy OTZ1 bytes-ring mode off the default quality
-path), BENCH_OTZ1_RATIO (=1 adds an OTZ1-mode ratio line for comparison).
+path), BENCH_OTZ1_RATIO (=1 adds an OTZ1-mode ratio line for comparison),
+BENCH_DEADLINE_S (default 2400: emit the JSON line with whatever has been
+measured when the deadline hits, instead of dying silent to the caller's
+timeout — round 3's driver run produced nothing because a cold compile
+outlived the driver's kill timer).
 """
 
 from __future__ import annotations
@@ -32,11 +36,49 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 ORZ_L2_BASELINE_GBPS = 100.0 / 3.360 / 1000.0  # reference README.md:43
+
+# Partial-result state the deadline watchdog reports if time runs out.
+RESULT = {
+    "metric": "otz device encode throughput (input in HBM, round-trip "
+              "gated), 1 chip, level 2",
+    "value": 0.0,
+    "unit": "GB/s",
+    "vs_baseline": 0.0,
+    "extra": {"phase": "init"},
+}
+_EMITTED = threading.Event()
+
+
+def emit_result() -> None:
+    """Print the ONE JSON line (exactly once, watchdog- and main-safe)."""
+    if not _EMITTED.is_set():
+        _EMITTED.set()
+        best = RESULT["extra"].get("compute_GBps", 0.0) or 0.0
+        best = max(best, RESULT["extra"].get("end_to_end_GBps", 0.0) or 0.0)
+        RESULT["value"] = round(best, 4)
+        RESULT["vs_baseline"] = round(best / ORZ_L2_BASELINE_GBPS, 3)
+        print(json.dumps(RESULT), flush=True)
+
+
+def start_watchdog() -> None:
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
+
+    def fire():
+        RESULT["extra"]["deadline_hit"] = True
+        print(f"bench: DEADLINE ({deadline:.0f}s) — emitting partial result",
+              file=sys.stderr, flush=True)
+        emit_result()
+        os._exit(0)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
 
 
 def make_corpus(n: int) -> bytes:
@@ -98,6 +140,7 @@ def _orz_size(sample: bytes, level: int) -> int:
 
 
 def main() -> int:
+    start_watchdog()
     mb = int(os.environ.get("BENCH_MB", "32"))
     level = int(os.environ.get("BENCH_LEVEL", "2"))
     # Default segment bucket: 2 MiB — the largest OTZ2 iteration program
@@ -123,20 +166,31 @@ def main() -> int:
 
     dev = jax.devices()[0]
     data, corpus_name = bench_corpus(mb << 20)
+    RESULT["metric"] = (f"otz device encode throughput (input in HBM, "
+                        f"round-trip gated), 1 chip, level {level}")
+    RESULT["extra"].update({"corpus": corpus_name, "phase": "warmup",
+                            "segment_MiB": seg_mb})
     print(f"bench: device={dev}, corpus={mb} MiB ({corpus_name}), "
           f"level={level}, segment={seg_mb} MiB", file=sys.stderr)
 
-    # warm-up: compile the segment-shape bucket
-    warm = data[:segment_size] if len(data) >= segment_size else data
+    # warm-up: compile the batched programs at the segment-shape bucket
+    n_batch = int(os.environ.get("BENCH_BATCH", "4"))
+    warm = data[: n_batch * segment_size] if len(data) >= segment_size else data
     t0 = time.perf_counter()
-    tpu_encode_bytes(warm, level=level, segment_size=segment_size, num_streams=1)
+    tpu_encode_bytes(warm, level=level, segment_size=segment_size,
+                     num_streams=n_batch)
     warmup_s = time.perf_counter() - t0
     print(f"bench: warm-up (compile) {warmup_s:.1f}s", file=sys.stderr)
+    RESULT["extra"].update({"warmup_s": round(warmup_s, 1),
+                            "phase": "end_to_end"})
 
     t0 = time.perf_counter()
-    comp = tpu_encode_bytes(data, level=level, segment_size=segment_size, num_streams=4)
+    comp = tpu_encode_bytes(data, level=level, segment_size=segment_size,
+                            num_streams=n_batch)
     dt = time.perf_counter() - t0
     gbps = len(data) / dt / 1e9
+    RESULT["extra"].update({"end_to_end_GBps": round(gbps, 4),
+                            "phase": "device_compute"})
 
     # Device encode throughput: segments resident in HBM, payload assembly
     # excluded, several segments in flight so host<->device round trips
@@ -149,62 +203,56 @@ def main() -> int:
     gbps_c = 0.0
     gbps_otz1 = 0.0
     try:
-        from concurrent.futures import ThreadPoolExecutor
-
         import jax.numpy as jnp
         from orz_tpu.device import pipeline as _pipe
-        from orz_tpu.device.spec import PAD_FRONT, PAD_TAIL, otz2_enabled
+        from orz_tpu.device.batch import _pad_batch, encode_segments_batch
+        from orz_tpu.device.spec import otz2_enabled
 
-        seg = data[:segment_size]
-        cap = _pipe._bucket_capacity(len(seg))
-        padded = np.zeros(PAD_FRONT + cap + PAD_TAIL, dtype=np.uint8)
-        padded[PAD_FRONT : PAD_FRONT + len(seg)] = np.frombuffer(seg, np.uint8)
-        staged = jax.device_put(jnp.asarray(padded))
+        n_full = max(1, min(n_batch, len(data) // segment_size))
+        segs = [data[i * segment_size : (i + 1) * segment_size]
+                for i in range(n_full)]
+        if len(segs) < n_batch:
+            segs = (segs * n_batch)[:n_batch]
+        cap = _pipe._bucket_capacity(segment_size)
+        staged = jax.device_put(jnp.asarray(_pad_batch(segs, cap)))
 
-        dispatch_mid = (_pipe.dispatch_segment_mid2 if otz2_enabled(level)
-                        else _pipe.dispatch_segment_mid)
+        def _compute_batch():
+            out = encode_segments_batch(segs, level, staged_bufs=staged,
+                                        cap=cap)
+            return sum(len(p) for p in out)
 
-        def _compute_one(_):
-            front = _pipe.dispatch_segment_front(
-                seg, level, _pipe.CHUNK_INPUT_DEFAULT, staged_buf=staged
-            )
-            mid = dispatch_mid(front)
-            back = _pipe.dispatch_segment_back(mid)
-            np.asarray(back["out"].meta[0])  # completion barrier
-
-        _compute_one(0)  # warm
-        reps = max(4, (len(data) // len(seg)))
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            t1 = time.perf_counter()
-            list(pool.map(_compute_one, range(reps)))
-            dt_c = (time.perf_counter() - t1) / reps
-        gbps_c = len(seg) / dt_c / 1e9
+        _compute_batch()  # warm
+        reps = max(2, len(data) // (len(segs) * segment_size))
+        t1 = time.perf_counter()
+        for _ in range(reps):
+            _compute_batch()
+        dt_c = (time.perf_counter() - t1) / reps
+        gbps_c = len(segs) * segment_size / dt_c / 1e9
         print(f"bench: device compute {gbps_c*1000:.1f} MB/s "
-              f"({reps} segments x {len(seg)>>20} MiB, 4 in flight)",
+              f"({reps} batches x {len(segs)} x {segment_size>>20} MiB)",
               file=sys.stderr)
+        RESULT["extra"]["compute_GBps"] = round(gbps_c, 4)
 
         # the OTZ1 (bytes-ring, OTZ2=0) throughput mode for contrast when
         # the default is the OTZ2 quality path
         if otz2_enabled(level) and os.environ.get("BENCH_OTZ1_SPEED", "1") == "1":
-            def _compute_otz1(_):
-                front = _pipe.dispatch_segment_front(
-                    seg, level, _pipe.CHUNK_INPUT_DEFAULT, staged_buf=staged
-                )
-                mid = _pipe.dispatch_segment_mid(front)
-                back = _pipe.dispatch_segment_back(mid)
-                np.asarray(back["out"].meta[0])
+            def _compute_otz1():
+                encode_segments_batch(segs, level, rings_mode=0,
+                                      staged_bufs=staged, cap=cap)
 
-            _compute_otz1(0)
-            with ThreadPoolExecutor(max_workers=4) as pool:
-                t1 = time.perf_counter()
-                list(pool.map(_compute_otz1, range(reps)))
-                dt1 = (time.perf_counter() - t1) / reps
-            gbps_otz1 = len(seg) / dt1 / 1e9
+            _compute_otz1()
+            t1 = time.perf_counter()
+            for _ in range(reps):
+                _compute_otz1()
+            dt1 = (time.perf_counter() - t1) / reps
+            gbps_otz1 = len(segs) * segment_size / dt1 / 1e9
             print(f"bench: OTZ1 throughput mode (OTZ2=0) device compute "
                   f"{gbps_otz1*1000:.1f} MB/s", file=sys.stderr)
+            RESULT["extra"]["compute_otz1_GBps"] = round(gbps_otz1, 4)
     except Exception as e:
         print(f"bench: device compute measurement skipped: {e}", file=sys.stderr)
 
+    RESULT["extra"]["phase"] = "decode"
     t1 = time.perf_counter()
     out = tpu_decode_bytes(comp)
     dt_dec = time.perf_counter() - t1
@@ -216,6 +264,9 @@ def main() -> int:
     ratio = len(comp) / len(data)
     print(f"bench: encode {gbps*1000:.1f} MB/s, decode {decode_mbps:.1f} MB/s, "
           f"ratio {ratio*100:.2f}% ({len(comp)}/{len(data)})", file=sys.stderr)
+    RESULT["extra"].update({"decode_MBps": round(decode_mbps, 1),
+                            "ratio": round(ratio, 4),
+                            "round_trip": "ok", "phase": "ratio_vs_orz"})
 
     # compressed-size parity vs the format-exact native ORZ codec (CPU) on
     # the DEFAULT path at a full segment
@@ -227,8 +278,10 @@ def main() -> int:
         ratio_vs_orz = otz_size / orz_size
         print(f"bench: size vs orz l{level} on 8MiB sample: "
               f"otz={otz_size} orz={orz_size} ({ratio_vs_orz*100:.2f}%)", file=sys.stderr)
+        RESULT["extra"]["ratio_vs_orz_l2"] = round(ratio_vs_orz, 4)
     except Exception as e:  # size check is informational
         print(f"bench: orz size comparison skipped: {e}", file=sys.stderr)
+    RESULT["extra"]["phase"] = "ratio_alt_corpus"
 
     # second ratio point on the OTHER corpus kind (both kinds matter: the
     # real mix is non-self-authored; the synthetic one is the historical
@@ -247,8 +300,31 @@ def main() -> int:
             print(f"bench: size vs orz l{level} on 8MiB {alt_name} sample: "
                   f"otz={otz_alt} orz={orz_alt} ({ratio_vs_orz_alt*100:.2f}%)",
                   file=sys.stderr)
+            RESULT["extra"]["ratio_vs_orz_l2_alt_corpus"] = round(
+                ratio_vs_orz_alt, 4)
         except Exception as e:
             print(f"bench: alt-corpus ratio skipped: {e}", file=sys.stderr)
+
+    # l0 measurement point (BASELINE.md asks for l0 AND l2): throughput of
+    # the cheap path + size vs orz -l0 on a 4 MiB sample
+    if level != 0 and os.environ.get("BENCH_L0", "1") == "1":
+        RESULT["extra"]["phase"] = "l0"
+        try:
+            s0 = data[: min(len(data), 4 << 20)]
+            t0 = time.perf_counter()
+            otz0 = tpu_encode_bytes(s0, level=0, segment_size=segment_size,
+                                    num_streams=4)
+            dt0 = time.perf_counter() - t0
+            if tpu_decode_bytes(otz0) != s0:
+                raise RuntimeError("l0 round-trip failed")
+            orz0 = _orz_size(s0, 0)
+            RESULT["extra"]["l0_end_to_end_GBps"] = round(len(s0) / dt0 / 1e9, 4)
+            RESULT["extra"]["l0_ratio_vs_orz_l0"] = round(len(otz0) / orz0, 4)
+            print(f"bench: l0 {len(s0)/dt0/1e6:.1f} MB/s end-to-end, size vs "
+                  f"orz l0: otz={len(otz0)} orz={orz0} "
+                  f"({len(otz0)/orz0*100:.2f}%), round-trip ok", file=sys.stderr)
+        except Exception as e:
+            print(f"bench: l0 measurement skipped: {e}", file=sys.stderr)
 
     # legacy OTZ1 (bytes-only rings) comparison point, off by default: it
     # costs another encode of the sample
@@ -266,28 +342,8 @@ def main() -> int:
         except Exception as e:
             print(f"bench: OTZ1 ratio measurement skipped: {e}", file=sys.stderr)
 
-    best = max(gbps_c, gbps)
-    print(json.dumps({
-        "metric": f"otz device encode throughput (input in HBM, round-trip "
-                  f"gated), 1 chip, level {level}",
-        "value": round(best, 4),
-        "unit": "GB/s",
-        "vs_baseline": round(best / ORZ_L2_BASELINE_GBPS, 3),
-        "extra": {
-            "compute_GBps": round(gbps_c, 4),
-            "compute_otz1_GBps": round(gbps_otz1, 4),
-            "end_to_end_GBps": round(gbps, 4),
-            "decode_MBps": round(decode_mbps, 1),
-            "ratio": round(ratio, 4),
-            "ratio_vs_orz_l2": (round(ratio_vs_orz, 4)
-                                if ratio_vs_orz is not None else None),
-            "ratio_vs_orz_l2_alt_corpus": (round(ratio_vs_orz_alt, 4)
-                                           if ratio_vs_orz_alt is not None
-                                           else None),
-            "corpus": corpus_name,
-            "warmup_s": round(warmup_s, 1),
-        },
-    }))
+    RESULT["extra"]["phase"] = "done"
+    emit_result()
     return 0
 
 

@@ -49,14 +49,22 @@ def tpu_encode(
     rings_mode: None = level default; 0/1 force OTZ1/OTZ2 explicitly."""
     if num_streams is not None:
         batch = num_streams
-    from orz_tpu.device.pipeline import encode_segment_staged
+    from orz_tpu.device.batch import encode_segments_batch
+    from orz_tpu.device.pipeline import _bucket_capacity, encode_segment_staged
     from orz_tpu.pcontainer import pipe_encode
 
+    batch = max(batch, 1)
+    # fixed shape bucket = the full segment size, so every batch (including
+    # padded EOF leftovers) reuses one compiled program set
+    cap = _bucket_capacity(segment_size)
     pipe_encode(
         source, target,
         lambda seg: encode_segment_staged(seg, level, chunk_input,
                                           rings_mode=rings_mode),
-        TPU_MAGIC, segment_size, max(batch, 1), progress,
+        TPU_MAGIC, segment_size, batch, progress,
+        encode_batch=(None if batch == 1 else lambda segs: encode_segments_batch(
+            segs, level, chunk_input, rings_mode=rings_mode, cap=cap)),
+        batch_size=batch,
     )
 
 

@@ -180,21 +180,24 @@ def _bucket_capacity(n: int) -> int:
 # others.
 
 
-@partial(jax.jit, static_argnames=("depth",), donate_argnums=(0,))
-def encode_front_jit(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int):
+def _front_body(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int):
+    from orz_tpu.ops.analyze import _analyze
     from orz_tpu.ops.parse import pack_fields, walk_items
 
     n = buf.shape[0]
-    an = analyze(buf, seg_len, depth)
+    an = _analyze(buf, seg_len, depth, None)
     dec = decisions(an, seg_len, n)
     starts, n_items = walk_items(dec, seg_len, n)
     pk1 = pack_fields(an, dec, buf)
     return starts, n_items, pk1, an.bestq, an.bestro, buf
 
 
-@partial(jax.jit, static_argnames=("m_cap",), donate_argnums=(0, 2, 3, 4))
-def encode_mid_jit(starts, n_items, pk1, bestq, bestro, buf, seg_len,
-                   m_cap: int):
+@partial(jax.jit, static_argnames=("depth",), donate_argnums=(0,))
+def encode_front_jit(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int):
+    return _front_body(buf, seg_len, depth)
+
+
+def _mid_body(starts, n_items, pk1, bestq, bestro, buf, seg_len, m_cap: int):
     from orz_tpu.ops.symrank_pallas import plan_stats
 
     items = build_items(
@@ -204,10 +207,14 @@ def encode_mid_jit(starts, n_items, pk1, bestq, bestro, buf, seg_len,
     return items, r1, rounds
 
 
-@partial(jax.jit, static_argnames=("chunk_input", "c_max", "r1_cap", "rm_cap"),
-         donate_argnums=(0,))
-def encode_back_jit(items, chunk_input: int, c_max: int, r1_cap: int,
-                    rm_cap: int) -> SegmentOut:
+@partial(jax.jit, static_argnames=("m_cap",), donate_argnums=(0, 2, 3, 4))
+def encode_mid_jit(starts, n_items, pk1, bestq, bestro, buf, seg_len,
+                   m_cap: int):
+    return _mid_body(starts, n_items, pk1, bestq, bestro, buf, seg_len, m_cap)
+
+
+def _back_body(items, chunk_input: int, c_max: int, r1_cap: int,
+               rm_cap: int) -> SegmentOut:
     from orz_tpu.ops.symrank_pallas import symrank_pallas
 
     m = items.start.shape[0]
@@ -228,6 +235,13 @@ def encode_back_jit(items, chunk_input: int, c_max: int, r1_cap: int,
     )
     return _entropy_stage(items, coded, valid, chunk_id, num_counted,
                           census_order, chunk_input, c_max)
+
+
+@partial(jax.jit, static_argnames=("chunk_input", "c_max", "r1_cap", "rm_cap"),
+         donate_argnums=(0,))
+def encode_back_jit(items, chunk_input: int, c_max: int, r1_cap: int,
+                    rm_cap: int) -> SegmentOut:
+    return _back_body(items, chunk_input, c_max, r1_cap, rm_cap)
 
 
 # --- OTZ2 (rings_mode=1) staged path ---------------------------------------
@@ -292,8 +306,7 @@ def encode_iter2_scan_jit(buf, seg_len, depth: int, steps: int, starts0,
     return st, ni, pk
 
 
-@partial(jax.jit, static_argnames=("depth",))
-def encode_conform_jit(buf, seg_len, depth: int, starts, n_items, plan=None):
+def _conform_body(buf, seg_len, depth: int, starts, n_items, plan=None):
     from orz_tpu.device.spec import OTZ2_CONFORM_CAP
     from orz_tpu.ops.analyze import _analyze
 
@@ -309,6 +322,11 @@ def encode_conform_jit(buf, seg_len, depth: int, starts, n_items, plan=None):
     an2 = _analyze(buf, seg_len, depth, mask, words_mode=True, plan=plan,
                    ro_cap=OTZ2_CONFORM_CAP)
     return an2.bestq, an2.bestlen
+
+
+@partial(jax.jit, static_argnames=("depth",))
+def encode_conform_jit(buf, seg_len, depth: int, starts, n_items, plan=None):
+    return _conform_body(buf, seg_len, depth, starts, n_items, plan)
 
 
 @partial(jax.jit, static_argnames=("m2_cap",))
@@ -563,8 +581,23 @@ def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input
     Exactly two device fetches: the packed meta array and a size-bucketed
     prefix of the flat payload words (each fetch is a tunnel round trip).
     """
-    c_max = (out.meta.shape[0] - 4 - N_SYM) // (3 + 3 * N_SYM)
     meta = np.asarray(out.meta)
+    total_words = int(meta[3])
+    k_fetch = min(
+        out.words.shape[0],
+        -(-max(total_words, 1) // _FETCH_GRANULE) * _FETCH_GRANULE,
+    )
+    words = np.asarray(_take_words(out.words, k_fetch))
+    return assemble_segment_np(enc, meta, words, raw_len, chunk_input,
+                               rings_mode)
+
+
+def assemble_segment_np(enc: BitEncoder, meta: np.ndarray, words: np.ndarray,
+                        raw_len: int, chunk_input: int,
+                        rings_mode: int = 0) -> bytes:
+    """Assembly core over host-resident meta/words arrays (shared by the
+    per-segment and batched paths)."""
+    c_max = (meta.shape[0] - 4 - N_SYM) // (3 + 3 * N_SYM)
     num_counted, pred_len, _n_items, total_words = (int(v) for v in meta[:4])
     o = 4
     chunk_items = meta[o : o + c_max]; o += c_max
@@ -574,12 +607,6 @@ def assemble_segment(enc: BitEncoder, out: SegmentOut, raw_len: int, chunk_input
     lensA = meta[o : o + c_max * N_SYM].reshape(c_max, N_SYM); o += c_max * N_SYM
     lensB = meta[o : o + c_max * N_SYM].reshape(c_max, N_SYM); o += c_max * N_SYM
     lensC = meta[o : o + c_max * N_SYM].reshape(c_max, N_SYM)
-
-    k_fetch = min(
-        out.words.shape[0],
-        -(-max(total_words, 1) // _FETCH_GRANULE) * _FETCH_GRANULE,
-    )
-    words = np.asarray(_take_words(out.words, k_fetch))
 
     enc.encode_raw_bits(pred_len, 1)  # prediction flag
     enc.encode_raw_bits(rings_mode, 1)  # ring insertion rule (spec.py OTZ2)

@@ -20,4 +20,5 @@ from orz_tpu.parallel.mesh import (  # noqa: F401
     batched_encode,
     blocks_mesh,
     mesh_encode_segments,
+    mesh_encode_segments_staged,
 )

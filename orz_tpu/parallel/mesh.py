@@ -66,6 +66,160 @@ def batched_encode(
     return _batched_encode_jit(bufs, seg_lens, depth, chunk_input, c_max)
 
 
+# --- OTZ2 (default l2) staged chain over the mesh --------------------------
+#
+# The shipping quality path (front -> masked-iteration schedule -> conform
+# best-of-2 -> repair/emit -> symrank/entropy/pack, orz_tpu/device/batch.py)
+# has host syncs for shape buckets; under shard_map those become STATIC
+# caps so the whole chain is ONE SPMD program per (mesh, bucket): each
+# device runs its batch shard locally (Pallas kernels partition trivially
+# because no op crosses the "blocks" axis).  Per-segment cap overflow
+# (symrank round skew past the static buckets, or repair failure) sets a
+# flag; the host re-encodes flagged segments through the per-segment path.
+
+
+def _sr_caps_for(cap: int) -> tuple:
+    """Static symrank schedule caps for the shard_map chain: generous for
+    text-like skew (hottest context ~cap/64 items), overflow-flagged."""
+    from orz_tpu.ops.symrank_pallas import RB_BLK
+
+    r1_cap = max(RB_BLK, min(1 << 12, cap >> 9))
+    rm_cap = max(4 * RB_BLK, min(1 << 15, cap >> 5))
+    return r1_cap, rm_cap
+
+
+def _otz2_chain_local(bufs, seg_lens, depth: int, runs, c_shifts: int,
+                      m2_cap: int, r1_cap: int, rm_cap: int,
+                      chunk_input: int, c_max: int):
+    """Per-device body: the full OTZ2 encode chain for a local batch."""
+    import jax.numpy as jnp
+
+    from orz_tpu.device.pipeline import (
+        _back_body,
+        _conform_body,
+        _front_body,
+        _iter2_step,
+    )
+    from orz_tpu.ops.analyze import masked_plan
+    from orz_tpu.ops.otz2 import conform_repair, emit_items2
+    from orz_tpu.ops.symrank_pallas import plan_stats
+
+    def one(buf, seg_len):
+        starts, n_items, pk1, bestq, bestro, buf_d = _front_body(
+            buf, seg_len, depth
+        )
+        plan = masked_plan(buf_d, seg_len)
+        st, ni, pk = starts, n_items, pk1
+
+        def scan_run(d, steps, st, ni, pk):
+            def sbody(carry, _):
+                cst, cni, cpk = carry
+                return _iter2_step(buf_d, seg_len, d, cst, cni, plan), None
+
+            (st, ni, pk), _ = jax.lax.scan(sbody, (st, ni, pk), None,
+                                           length=steps)
+            return st, ni, pk
+
+        for d, cnt in runs[:-1]:
+            st, ni, pk = scan_run(d, cnt, st, ni, pk)
+        d, cnt = runs[-1]
+        if cnt > 1:
+            st, ni, pk = scan_run(d, cnt - 1, st, ni, pk)
+        st_a, ni_a, pk_a = st, ni, pk
+        st, ni, pk = _iter2_step(buf_d, seg_len, d, st_a, ni_a, plan)
+
+        def emit_one(st, ni, pk):
+            bq, bl = _conform_body(buf_d, seg_len, c_shifts, st, ni, plan)
+            start, kind, length, q, rep0, ro, predi, n2, ok = conform_repair(
+                st[:m2_cap], ni, pk, bq, bl, buf_d, seg_len, words_mode=True
+            )
+            items = emit_items2(start, kind, length, q, rep0, ro, n2, pk,
+                                buf_d, seg_len, predi=predi)
+            return items, ok, items.n_items - ni
+
+        items_a, ok_a, dem_a = emit_one(st_a, ni_a, pk_a)
+        items_b, ok_b, dem_b = emit_one(st, ni, pk)
+        thr = jnp.maximum(jnp.int32(1024), ni >> 7)
+        use_b = ok_b & ((dem_b <= thr) | ~ok_a | (dem_b <= dem_a))
+        items = jax.tree.map(
+            lambda a, b: jnp.where(use_b, b, a), items_a, items_b
+        )
+        r1, rounds = plan_stats(items.sr_ctx, items.n_items)
+        ok = (ok_a | ok_b) & (r1 <= r1_cap) & (rounds - r1 <= rm_cap)
+        out = _back_body(items, chunk_input, c_max, r1_cap, rm_cap)
+        return out.meta, out.words, ok
+
+    return jax.vmap(one)(bufs, seg_lens)
+
+
+def mesh_encode_segments_staged(
+    segments: List[bytes],
+    level: int = 2,
+    chunk_input: int = CHUNK_INPUT_DEFAULT,
+    mesh: Optional[Mesh] = None,
+) -> List[bytes]:
+    """Encode segments through the DEFAULT l2 (OTZ2) chain, block-data-
+    parallel over the mesh: one shard_map program, each device encoding
+    len(segments)/n_devices segments.  Segments whose static caps
+    overflowed re-encode through the per-segment host path."""
+    from jax.experimental.shard_map import shard_map
+
+    from orz_tpu.device.pipeline import assemble_segment_np, encode_segment_staged
+    from orz_tpu.device.spec import OTZ2_CONFORM_SHIFTS, otz2_schedule
+    from orz_tpu.device.batch import _pad_batch, _runs
+
+    if not segments:
+        return []
+    if mesh is None:
+        mesh = blocks_mesh()
+    ndev = mesh.devices.size
+    assert len(segments) % ndev == 0, "batch must tile the mesh"
+    cap = _bucket_capacity(max(len(s) for s in segments))
+    c_max = n_chunks_for(cap, chunk_input)
+    schedule = otz2_schedule()
+    c_shifts = OTZ2_CONFORM_SHIFTS or schedule[-1]
+    r1_cap, rm_cap = _sr_caps_for(cap)
+    statics = dict(
+        depth=candidate_depth(level), runs=_runs(schedule),
+        c_shifts=c_shifts, m2_cap=cap, r1_cap=r1_cap, rm_cap=rm_cap,
+        chunk_input=chunk_input, c_max=c_max,
+    )
+
+    bufs = jnp.asarray(_pad_batch(segments, cap))
+    lens = jnp.asarray(np.array([len(s) for s in segments], np.int32))
+    buf_sh = NamedSharding(mesh, P("blocks", None))
+    len_sh = NamedSharding(mesh, P("blocks"))
+    bufs = jax.device_put(bufs, buf_sh)
+    lens = jax.device_put(lens, len_sh)
+
+    fn = jax.jit(shard_map(
+        partial(_otz2_chain_local, **statics),
+        mesh=mesh,
+        in_specs=(P("blocks", None), P("blocks")),
+        out_specs=(P("blocks", None), P("blocks", None), P("blocks")),
+    ))
+    metas, words, ok = fn(bufs, lens)
+    metas = np.asarray(metas)
+    ok = np.asarray(ok)
+    words = np.asarray(words)
+
+    payloads = []
+    for i, s in enumerate(segments):
+        if len(s) == 0 or not ok[i]:
+            payloads.append(
+                encode_segment_staged(s, level, chunk_input, rings_mode=1)
+            )
+            continue
+        enc = BitEncoder()
+        enc.encode_varint(len(s))
+        enc.encode_varint(chunk_input)
+        payloads.append(
+            assemble_segment_np(enc, metas[i], words[i], len(s),
+                                chunk_input, rings_mode=1)
+        )
+    return payloads
+
+
 def mesh_encode_segments(
     segments: List[bytes],
     level: int = 2,

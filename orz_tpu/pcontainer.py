@@ -41,9 +41,16 @@ def pipe_encode(
     segment_size: int,
     num_streams: int,
     progress: ProgressLogger | None = None,
+    encode_batch=None,  # list[bytes] -> list[bytes]
+    batch_size: int | None = None,
 ) -> None:
     """Generic bounded pipeline: read segments, compress with at most
-    num_streams in flight, emit in file order."""
+    num_streams in flight, emit in file order.
+
+    encode_batch: when given, full batches of `batch_size` segments go
+    through it (one device dispatch chain covers the whole batch —
+    orz_tpu/device/batch.py) with up to 2 batches in flight; leftovers
+    (fewer than batch_size segments at EOF) still use encode_segment."""
     progress = progress or SilentProgressLogger()
     progress.set_is_encode(True)
     if not isinstance(source, CountRead):
@@ -64,6 +71,44 @@ def pipe_encode(
             chunks.append(piece)
             remaining -= len(piece)
         return b"".join(chunks)
+
+    def emit(payload: bytes) -> None:
+        write_len(target, len(payload))
+        target.write(payload)
+        progress.log(source.count(), target.count())
+
+    if encode_batch is not None:
+        bsz = max(batch_size or num_streams, 1)
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            pending = []  # futures resolving to list[bytes]
+            eof = False
+            while not eof or pending:
+                while not eof and len(pending) < 2:
+                    segs = []
+                    while len(segs) < bsz:
+                        seg = read_segment()
+                        if not seg:
+                            eof = True
+                            break
+                        segs.append(seg)
+                    if not segs:
+                        break
+                    if len(segs) == bsz:
+                        pending.append(pool.submit(encode_batch, segs))
+                    else:  # EOF leftovers: pad the batch with copies of the
+                        # first segment (same compiled programs, same
+                        # shapes) and discard the padding's payloads
+                        k = len(segs)
+                        padded = segs + [segs[0]] * (bsz - k)
+                        pending.append(pool.submit(
+                            lambda ss, k=k: encode_batch(ss)[:k], padded
+                        ))
+                if pending:
+                    for payload in pending.pop(0).result():
+                        emit(payload)
+        write_len(target, 0)
+        progress.finish(source.count(), target.count())
+        return
 
     with ThreadPoolExecutor(max_workers=max(num_streams, 1)) as pool:
         pending = []

@@ -1,0 +1,66 @@
+"""Batched device pipeline (orz_tpu/device/batch.py) vs the per-segment
+staged path: payload equivalence, container integration, and fallbacks."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import make_binary_like, make_text_like
+
+
+def test_batch_matches_staged(rng):
+    from orz_tpu.device.batch import encode_segments_batch
+    from orz_tpu.device.container import _decode_segment
+    from orz_tpu.device.pipeline import encode_segment_staged
+
+    segs = [
+        make_text_like(rng, 40000),
+        make_binary_like(rng, 52000),
+        make_text_like(rng, 65536),
+    ]
+    for level in (2, 1):
+        got = encode_segments_batch(segs, level)
+        assert len(got) == len(segs)
+        for seg, payload in zip(segs, got):
+            assert _decode_segment(payload) == seg
+            ref = encode_segment_staged(seg, level)
+            # the batched path runs the same schedule + best-of-2 emission
+            # (vs best-of-3 per-segment); identical payloads are expected on
+            # healthy data, and the round-trip above is the hard gate
+            assert payload == ref, (level, len(seg))
+
+
+def test_batch_shared_bucket_mixed_sizes(rng):
+    """Segments of different lengths share one cap bucket (the container's
+    padded-EOF case)."""
+    from orz_tpu.device.batch import encode_segments_batch
+    from orz_tpu.device.container import _decode_segment
+
+    segs = [make_text_like(rng, 60000), make_text_like(rng, 7000)]
+    got = encode_segments_batch(segs, 2, cap=1 << 16)
+    for seg, payload in zip(segs, got):
+        assert _decode_segment(payload) == seg
+
+
+def test_container_batched_roundtrip(rng):
+    from orz_tpu.device.container import tpu_decode_bytes, tpu_encode_bytes
+
+    data = make_text_like(rng, 200000)
+    # 3.05 segments of 64 KiB -> one full batch of 3 + padded leftover
+    comp = tpu_encode_bytes(data, level=2, segment_size=1 << 16,
+                            num_streams=3)
+    assert tpu_decode_bytes(comp) == data
+
+    comp1 = tpu_encode_bytes(data, level=2, segment_size=1 << 16,
+                             num_streams=1)  # per-segment path
+    assert tpu_decode_bytes(comp1) == data
+    assert comp == comp1  # batch does not change the stream
+
+
+def test_batch_otz1_mode(rng):
+    from orz_tpu.device.batch import encode_segments_batch
+    from orz_tpu.device.container import _decode_segment
+
+    segs = [make_text_like(rng, 30000), make_binary_like(rng, 30000)]
+    got = encode_segments_batch(segs, 2, rings_mode=0)
+    for seg, payload in zip(segs, got):
+        assert _decode_segment(payload) == seg

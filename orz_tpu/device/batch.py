@@ -41,13 +41,8 @@ import numpy as np
 from orz_tpu.device import pipeline as pipe
 from orz_tpu.device.pipeline import (
     SegmentOut,
-    _back_body,
     _bucket,
     _bucket_capacity,
-    _conform_body,
-    _front_body,
-    _iter2_step,
-    _mid_body,
 )
 from orz_tpu.device.spec import (
     CHUNK_INPUT_DEFAULT,
@@ -59,9 +54,7 @@ from orz_tpu.device.spec import (
     otz2_schedule,
 )
 from orz_tpu.golden.bitio import BitEncoder
-from orz_tpu.ops.analyze import masked_plan
-from orz_tpu.ops.otz2 import conform_repair, emit_items2
-from orz_tpu.ops.symrank_pallas import R_CAP_MAX, RB_BLK, plan_stats
+from orz_tpu.ops.symrank_pallas import R_CAP_MAX, RB_BLK
 
 DEFAULT_BATCH = 4
 
@@ -79,89 +72,102 @@ def _runs(schedule):
 
 @partial(jax.jit, static_argnames=("depth",), donate_argnums=(0,))
 def b_front_jit(bufs, seg_lens, depth: int):
-    return jax.vmap(lambda b, s: _front_body(b, s, depth))(bufs, seg_lens)
+    from orz_tpu.ops.batched import front_body_b
+
+    return front_body_b(bufs, seg_lens, depth)
 
 
 @partial(jax.jit, static_argnames=("runs", "c_shifts"))
 def b_quality_jit(bufs, seg_lens, starts0, ni0, pk0, runs, c_shifts: int):
     """Masked plan + iteration schedule + conform analyses of the last two
     iterates, one program.  Returns two iterate tuples
-    (starts, n_items, pk1, bestq2, bestlen2): A = second-to-last, B = last."""
+    (starts, n_items, pk1, bestq2, bestlen2): A = second-to-last, B = last.
 
-    def body(buf, seg_len, st, ni, pk):
-        plan = masked_plan(buf, seg_len)
+    Explicit-batch bodies (ops/batched.py): every gather/scatter runs on
+    the flat 1-d fast path across all B segments at once."""
+    from orz_tpu.ops.batched import (
+        conform_body_b,
+        iter2_step_b,
+        masked_plan_b,
+    )
 
-        def scan_run(depth, steps, st, ni, pk):
-            def sbody(carry, _):
-                cst, cni, cpk = carry
-                return _iter2_step(buf, seg_len, depth, cst, cni, plan), None
+    plan = masked_plan_b(bufs, seg_lens)
+    st, ni, pk = starts0, ni0, pk0
 
-            (st, ni, pk), _ = jax.lax.scan(
-                sbody, (st, ni, pk), None, length=steps
-            )
-            return st, ni, pk
+    def scan_run(depth, steps, st, ni, pk):
+        def sbody(carry, _):
+            cst, cni, cpk = carry
+            return iter2_step_b(bufs, seg_lens, depth, cst, cni, plan), None
 
-        for d, cnt in runs[:-1]:
-            st, ni, pk = scan_run(d, cnt, st, ni, pk)
-        d, cnt = runs[-1]
-        if cnt > 1:
-            st, ni, pk = scan_run(d, cnt - 1, st, ni, pk)
-        st_a, ni_a, pk_a = st, ni, pk
-        st, ni, pk = _iter2_step(buf, seg_len, d, st_a, ni_a, plan)
-        bq_a, bl_a = _conform_body(buf, seg_len, c_shifts, st_a, ni_a, plan)
-        bq_b, bl_b = _conform_body(buf, seg_len, c_shifts, st, ni, plan)
-        return (st_a, ni_a, pk_a, bq_a, bl_a), (st, ni, pk, bq_b, bl_b)
+        (st, ni, pk), _ = jax.lax.scan(
+            sbody, (st, ni, pk), None, length=steps
+        )
+        return st, ni, pk
 
-    return jax.vmap(body)(bufs, seg_lens, starts0, ni0, pk0)
+    for d, cnt in runs[:-1]:
+        st, ni, pk = scan_run(d, cnt, st, ni, pk)
+    d, cnt = runs[-1]
+    if cnt > 1:
+        st, ni, pk = scan_run(d, cnt - 1, st, ni, pk)
+    st_a, ni_a, pk_a = st, ni, pk
+    st, ni, pk = iter2_step_b(bufs, seg_lens, d, st_a, ni_a, plan)
+    bq_a, bl_a = conform_body_b(bufs, seg_lens, c_shifts, st_a, ni_a, plan)
+    bq_b, bl_b = conform_body_b(bufs, seg_lens, c_shifts, st, ni, plan)
+    return (st_a, ni_a, pk_a, bq_a, bl_a), (st, ni, pk, bq_b, bl_b)
 
 
 @partial(jax.jit, static_argnames=("m2_cap",))
 def b_mid2_jit(bufs, seg_lens, it_a, it_b, m2_cap: int):
     """Conform/repair/emit both iterates; demotion-ranked per-segment pick
     (the host best-of-2 of pipeline.dispatch_segment_mid2, on-device)."""
+    from orz_tpu.ops.batched import (
+        conform_repair_b,
+        emit_items2_b,
+        plan_stats_b,
+    )
 
-    def emit_one(buf, seg_len, st, ni, pk, bq, bl):
-        start, kind, length, q, rep0, ro, predi, n2, ok = conform_repair(
-            st[:m2_cap], ni, pk, bq, bl, buf, seg_len, words_mode=True
+    def emit_one(st, ni, pk, bq, bl):
+        start, kind, length, q, rep0, ro, predi, n2, ok = conform_repair_b(
+            st[:, :m2_cap], ni, pk, bq, bl, bufs, seg_lens, words_mode=True
         )
-        items = emit_items2(start, kind, length, q, rep0, ro, n2, pk, buf,
-                            seg_len, predi=predi)
+        items = emit_items2_b(start, kind, length, q, rep0, ro, n2, pk,
+                              bufs, seg_lens, predi=predi)
         return items, ok, items.n_items - ni
 
-    def body(buf, seg_len, it_a, it_b):
-        items_a, ok_a, dem_a = emit_one(buf, seg_len, *it_a)
-        items_b, ok_b, dem_b = emit_one(buf, seg_len, *it_b)
-        # newest-first pick: keep B unless anomalous and A is ok with fewer
-        # demotions (pipeline.dispatch_segment_mid2's thr heuristic)
-        thr = jnp.maximum(jnp.int32(1024), it_b[1] >> 7)
-        use_b = ok_b & ((dem_b <= thr) | ~ok_a | (dem_b <= dem_a))
-        items = jax.tree.map(
-            lambda a, b: jnp.where(use_b, b, a), items_a, items_b
-        )
-        ok = ok_a | ok_b
-        r1, rounds = plan_stats(items.sr_ctx, items.n_items)
-        return items, ok, r1, rounds, dem_a, dem_b
+    items_a, ok_a, dem_a = emit_one(*it_a)
+    items_b, ok_b, dem_b = emit_one(*it_b)
+    # newest-first pick: keep B unless anomalous and A is ok with fewer
+    # demotions (pipeline.dispatch_segment_mid2's thr heuristic)
+    thr = jnp.maximum(jnp.int32(1024), it_b[1] >> 7)
+    use_b = ok_b & ((dem_b <= thr) | ~ok_a | (dem_b <= dem_a))
 
-    return jax.vmap(body)(bufs, seg_lens, it_a, it_b)
+    def sel(a, b):
+        u = use_b.reshape((-1,) + (1,) * (a.ndim - 1)) if a.ndim > 1 \
+            else use_b
+        return jnp.where(u, b, a)
+
+    items = jax.tree.map(sel, items_a, items_b)
+    ok = ok_a | ok_b
+    r1, rounds = plan_stats_b(items.sr_ctx, items.n_items)
+    return items, ok, r1, rounds, dem_a, dem_b
 
 
 @partial(jax.jit, static_argnames=("m_cap",))
 def b_mid_jit(starts, n_items, pk1, bestq, bestro, bufs, seg_lens,
               m_cap: int):
-    return jax.vmap(
-        lambda s, ni, pk, bq, bro, buf, sl: _mid_body(
-            s, ni, pk, bq, bro, buf, sl, m_cap
-        )
-    )(starts, n_items, pk1, bestq, bestro, bufs, seg_lens)
+    from orz_tpu.ops.batched import mid_body_b
+
+    return mid_body_b(starts, n_items, pk1, bestq, bestro, bufs, seg_lens,
+                      m_cap)
 
 
 @partial(jax.jit, static_argnames=("chunk_input", "c_max", "r1_cap",
                                    "rm_cap"), donate_argnums=(0,))
 def b_back_jit(items, chunk_input: int, c_max: int, r1_cap: int,
                rm_cap: int) -> SegmentOut:
-    return jax.vmap(
-        lambda it: _back_body(it, chunk_input, c_max, r1_cap, rm_cap)
-    )(items)
+    from orz_tpu.ops.batched import back_body_b
+
+    return back_body_b(items, chunk_input, c_max, r1_cap, rm_cap)
 
 
 @partial(jax.jit, static_argnames=("k",))

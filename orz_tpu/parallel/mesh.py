@@ -79,77 +79,82 @@ def batched_encode(
 
 
 def _sr_caps_for(cap: int) -> tuple:
-    """Static symrank schedule caps for the shard_map chain: generous for
-    text-like skew (hottest context ~cap/64 items), overflow-flagged."""
-    from orz_tpu.ops.symrank_pallas import RB_BLK
-
-    r1_cap = max(RB_BLK, min(1 << 12, cap >> 9))
-    rm_cap = max(4 * RB_BLK, min(1 << 15, cap >> 5))
+    """Static symrank schedule caps for the shard_map chain.  The wide
+    phase runs while > 128 contexts are active (r1 is small); the narrow
+    phase must reach the hottest context's item count — on text that is
+    roughly the space-context share, ~cap/12 items — so the cap scales
+    with the bucket (floored for small test segments) and overflow sets
+    the per-segment fallback flag."""
+    r1_cap = max(1 << 10, min(1 << 12, cap >> 9))
+    rm_cap = max(1 << 13, min(1 << 17, cap >> 4))
     return r1_cap, rm_cap
 
 
 def _otz2_chain_local(bufs, seg_lens, depth: int, runs, c_shifts: int,
                       m2_cap: int, r1_cap: int, rm_cap: int,
                       chunk_input: int, c_max: int):
-    """Per-device body: the full OTZ2 encode chain for a local batch."""
+    """Per-device body: the full OTZ2 encode chain for a local batch
+    (explicit-batch bodies, ops/batched.py — flat-index data movement)."""
     import jax.numpy as jnp
 
-    from orz_tpu.device.pipeline import (
-        _back_body,
-        _conform_body,
-        _front_body,
-        _iter2_step,
+    from orz_tpu.ops.batched import (
+        back_body_b,
+        conform_body_b,
+        conform_repair_b,
+        emit_items2_b,
+        front_body_b,
+        iter2_step_b,
+        masked_plan_b,
+        plan_stats_b,
     )
-    from orz_tpu.ops.analyze import masked_plan
-    from orz_tpu.ops.otz2 import conform_repair, emit_items2
-    from orz_tpu.ops.symrank_pallas import plan_stats
 
-    def one(buf, seg_len):
-        starts, n_items, pk1, bestq, bestro, buf_d = _front_body(
-            buf, seg_len, depth
+    starts, n_items, pk1, bestq, bestro, _ = front_body_b(
+        bufs, seg_lens, depth
+    )
+    plan = masked_plan_b(bufs, seg_lens)
+    st, ni, pk = starts, n_items, pk1
+
+    def scan_run(d, steps, st, ni, pk):
+        def sbody(carry, _):
+            cst, cni, cpk = carry
+            return iter2_step_b(bufs, seg_lens, d, cst, cni, plan), None
+
+        (st, ni, pk), _ = jax.lax.scan(sbody, (st, ni, pk), None,
+                                       length=steps)
+        return st, ni, pk
+
+    for d, cnt in runs[:-1]:
+        st, ni, pk = scan_run(d, cnt, st, ni, pk)
+    d, cnt = runs[-1]
+    if cnt > 1:
+        st, ni, pk = scan_run(d, cnt - 1, st, ni, pk)
+    st_a, ni_a, pk_a = st, ni, pk
+    st, ni, pk = iter2_step_b(bufs, seg_lens, d, st_a, ni_a, plan)
+
+    def emit_one(st, ni, pk):
+        bq, bl = conform_body_b(bufs, seg_lens, c_shifts, st, ni, plan)
+        start, kind, length, q, rep0, ro, predi, n2, ok = conform_repair_b(
+            st[:, :m2_cap], ni, pk, bq, bl, bufs, seg_lens, words_mode=True
         )
-        plan = masked_plan(buf_d, seg_len)
-        st, ni, pk = starts, n_items, pk1
+        items = emit_items2_b(start, kind, length, q, rep0, ro, n2, pk,
+                              bufs, seg_lens, predi=predi)
+        return items, ok, items.n_items - ni
 
-        def scan_run(d, steps, st, ni, pk):
-            def sbody(carry, _):
-                cst, cni, cpk = carry
-                return _iter2_step(buf_d, seg_len, d, cst, cni, plan), None
+    items_a, ok_a, dem_a = emit_one(st_a, ni_a, pk_a)
+    items_b, ok_b, dem_b = emit_one(st, ni, pk)
+    thr = jnp.maximum(jnp.int32(1024), ni >> 7)
+    use_b = ok_b & ((dem_b <= thr) | ~ok_a | (dem_b <= dem_a))
 
-            (st, ni, pk), _ = jax.lax.scan(sbody, (st, ni, pk), None,
-                                           length=steps)
-            return st, ni, pk
+    def sel(a, b):
+        u = use_b.reshape((-1,) + (1,) * (a.ndim - 1)) if a.ndim > 1 \
+            else use_b
+        return jnp.where(u, b, a)
 
-        for d, cnt in runs[:-1]:
-            st, ni, pk = scan_run(d, cnt, st, ni, pk)
-        d, cnt = runs[-1]
-        if cnt > 1:
-            st, ni, pk = scan_run(d, cnt - 1, st, ni, pk)
-        st_a, ni_a, pk_a = st, ni, pk
-        st, ni, pk = _iter2_step(buf_d, seg_len, d, st_a, ni_a, plan)
-
-        def emit_one(st, ni, pk):
-            bq, bl = _conform_body(buf_d, seg_len, c_shifts, st, ni, plan)
-            start, kind, length, q, rep0, ro, predi, n2, ok = conform_repair(
-                st[:m2_cap], ni, pk, bq, bl, buf_d, seg_len, words_mode=True
-            )
-            items = emit_items2(start, kind, length, q, rep0, ro, n2, pk,
-                                buf_d, seg_len, predi=predi)
-            return items, ok, items.n_items - ni
-
-        items_a, ok_a, dem_a = emit_one(st_a, ni_a, pk_a)
-        items_b, ok_b, dem_b = emit_one(st, ni, pk)
-        thr = jnp.maximum(jnp.int32(1024), ni >> 7)
-        use_b = ok_b & ((dem_b <= thr) | ~ok_a | (dem_b <= dem_a))
-        items = jax.tree.map(
-            lambda a, b: jnp.where(use_b, b, a), items_a, items_b
-        )
-        r1, rounds = plan_stats(items.sr_ctx, items.n_items)
-        ok = (ok_a | ok_b) & (r1 <= r1_cap) & (rounds - r1 <= rm_cap)
-        out = _back_body(items, chunk_input, c_max, r1_cap, rm_cap)
-        return out.meta, out.words, ok
-
-    return jax.vmap(one)(bufs, seg_lens)
+    items = jax.tree.map(sel, items_a, items_b)
+    r1, rounds = plan_stats_b(items.sr_ctx, items.n_items)
+    ok = (ok_a | ok_b) & (r1 <= r1_cap) & (rounds - r1 <= rm_cap)
+    out = back_body_b(items, chunk_input, c_max, r1_cap, rm_cap)
+    return out.meta, out.words, ok
 
 
 def mesh_encode_segments_staged(
@@ -162,8 +167,6 @@ def mesh_encode_segments_staged(
     parallel over the mesh: one shard_map program, each device encoding
     len(segments)/n_devices segments.  Segments whose static caps
     overflowed re-encode through the per-segment host path."""
-    from jax.experimental.shard_map import shard_map
-
     from orz_tpu.device.pipeline import assemble_segment_np, encode_segment_staged
     from orz_tpu.device.spec import OTZ2_CONFORM_SHIFTS, otz2_schedule
     from orz_tpu.device.batch import _pad_batch, _runs
@@ -192,11 +195,15 @@ def mesh_encode_segments_staged(
     bufs = jax.device_put(bufs, buf_sh)
     lens = jax.device_put(lens, len_sh)
 
-    fn = jax.jit(shard_map(
+    fn = jax.jit(jax.shard_map(
         partial(_otz2_chain_local, **statics),
         mesh=mesh,
         in_specs=(P("blocks", None), P("blocks")),
         out_specs=(P("blocks", None), P("blocks", None), P("blocks")),
+        # the Pallas kernels' out_shapes carry no varying-mesh-axes info;
+        # nothing in the chain crosses the "blocks" axis, so the check is
+        # vacuously satisfiable but cannot be inferred
+        check_vma=False,
     ))
     metas, words, ok = fn(bufs, lens)
     metas = np.asarray(metas)

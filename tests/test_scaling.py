@@ -37,3 +37,21 @@ def test_mesh_scaling_1mib_per_device(rng):
     # (virtual devices over 4 cores; this guards plumbing regressions, not
     # hardware scaling)
     assert rates[8] > rates[1] * 0.5
+
+
+def test_mesh_staged_l2_roundtrip(rng):
+    """The DEFAULT l2 (OTZ2) chain through the shard_map mesh path: 2
+    segments per device on a 4-device mesh, round-trip verified, payloads
+    equal to the single-chip batched path."""
+    from orz_tpu.device.batch import encode_segments_batch
+    from orz_tpu.parallel import mesh_encode_segments_staged
+
+    seg_bytes = 48 << 10
+    data = make_text_like(rng, 8 * seg_bytes)
+    segs = [data[i * seg_bytes:(i + 1) * seg_bytes] for i in range(8)]
+    mesh = blocks_mesh(4)
+    payloads = mesh_encode_segments_staged(segs, level=2, mesh=mesh)
+    for s, p in zip(segs, payloads):
+        assert _decode_segment(p) == s
+    ref = encode_segments_batch(segs, 2)
+    assert payloads == ref

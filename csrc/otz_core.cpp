@@ -298,12 +298,23 @@ struct Decoder {
 
     // grow-only buffer reuse: every byte of [PAD_FRONT, end) is written by
     // an item before any read of it (matches only read q < p; the context
-    // hashes read p-1/p-2), so stale bytes from a previous segment never
+    // hashes read p-1/p-2; the dist>=8 chunked copy's 8-byte over-READ
+    // reaches q + match_len + 7 <= p + 7 < end + PAD_TAIL and, because
+    // q <= p - 8, never runs ahead of bytes already written — see the
+    // copy-site comment), so stale bytes from a previous segment never
     // leak — only the front pad (read by the hashes at p near the start)
     // needs zeroing.  Reusing capacity avoids the per-segment mmap/zero
     // page-fault storm that dominated small-segment decode.
     size_t need = (size_t)(PAD_FRONT + raw_len + PAD_TAIL);
     if (buf.size() < need) buf.resize(need);
+    // retention bound (thread_local decoder): one giant segment would pin
+    // peak buffers on this pool thread forever; shrink when capacity
+    // exceeds 4x the present need
+    if (buf.capacity() > 4 * need && need > (1u << 20)) {
+      buf.resize(need);
+      buf.shrink_to_fit();
+      pred2.shrink_to_fit();
+    }
     memset(buf.data(), 0, PAD_FRONT);
     end = PAD_FRONT + raw_len;
     done_ring = PAD_FRONT;
@@ -452,7 +463,13 @@ struct Decoder {
           if (p + match_len > end) return -10;
           int64_t dist = p - q;
           if (dist >= 8) {
-            // 8-byte chunk copy; PAD_TAIL slack absorbs the overrun
+            // 8-byte chunk copy.  Over-WRITE: up to 7 bytes past
+            // p+match_len, absorbed by PAD_TAIL (or overwritten by later
+            // items).  Over-READ: the last chunk reads to q+match_len+7;
+            // q <= p-8 keeps that strictly below p+match_len < end+PAD_TAIL,
+            // i.e. only bytes this segment already wrote (the grow-only
+            // buffer's stale-data safety depends on this gate staying
+            // dist >= 8 — do not lower it without revisiting both bounds).
             for (int k = 0; k < match_len; k += 8)
               memcpy(&buf[p + k], &buf[q + k], 8);
           } else {

@@ -425,36 +425,34 @@ def analyze_b(bufs: jnp.ndarray, seg_lens: jnp.ndarray, depth: int,
     )
     n_alive = alive.sum(axis=-1)  # (B,)
 
+    def _chunk_body(sub_p, cur, alive_in, first_round, last_round):
+        """Extend the alive_first entries `sub_p` over rounds
+        [first_round, last_round) — STRAIGHT-LINE (dead lanes are masked,
+        not skipped): on this runtime a dynamic while round costs ~100x its
+        arithmetic, so static rounds win whenever most lanes die early."""
+        sub_pc = jnp.clip(sub_p, 0, n - 1)
+        sub_q = bgather(best_q, sub_pc)
+        scur = bgather(cur, sub_pc)
+        sub_cap = bgather(cap_back, sub_pc)
+        salive = bgather(alive_in.astype(jnp.int32), sub_pc).astype(
+            bool
+        ) & (sub_p < n)
+        for _k in range(first_round, last_round):
+            qb = jnp.where(salive, sub_q + scur, 0)
+            pb = jnp.where(salive, sub_pc + scur, 0)
+            lcp, full_w = _lcp_round_b(ba.dw, qb, pb, EXT_W)
+            scur = jnp.where(salive, scur + lcp, scur)
+            scur = jnp.minimum(scur, sub_cap)
+            salive = salive & full_w & (scur < sub_cap)
+        return scur, salive
+
     def _stage(cur, alive_in, alive_out, k_sub, first_round, last_round,
                n_fast=1):
         def one_chunk(c, cur, aout):
             sub_p = lax.dynamic_slice_in_dim(alive_first, c * k_sub, k_sub,
                                              axis=1)
-            sub_pc = jnp.clip(sub_p, 0, n - 1)
-            sub_q = bgather(best_q, sub_pc)
-            sub_cur = bgather(cur, sub_pc)
-            sub_cap = bgather(cap_back, sub_pc)
-            sub_alive = bgather(alive_in.astype(jnp.int32), sub_pc).astype(
-                bool
-            ) & (sub_p < n)
-
-            def tail_cond(tc):
-                k, scur, salive = tc
-                return (k < last_round) & salive.any()
-
-            def tail_round(tc):
-                k, scur, salive = tc
-                qb = jnp.where(salive, sub_q + scur, 0)
-                pb = jnp.where(salive, sub_pc + scur, 0)
-                lcp, full_w = _lcp_round_b(ba.dw, qb, pb, EXT_W)
-                scur = jnp.where(salive, scur + lcp, scur)
-                scur = jnp.minimum(scur, sub_cap)
-                return k + 1, scur, salive & full_w & (scur < sub_cap)
-
-            _, sub_cur, sub_alive = lax.while_loop(
-                tail_cond, tail_round,
-                (jnp.int32(first_round), sub_cur, sub_alive),
-            )
+            sub_cur, sub_alive = _chunk_body(sub_p, cur, alive_in,
+                                             first_round, last_round)
             cur = bscatter_set(cur, sub_p, sub_cur)
             if aout is not None:
                 aout = bscatter_set(
@@ -484,11 +482,18 @@ def analyze_b(bufs: jnp.ndarray, seg_lens: jnp.ndarray, depth: int,
         return lax.cond(n_alive.max() <= n_fast * k_sub, fast, general,
                         cur, alive_out)
 
+    import os as _os
+
     n_rounds = -(-(LZ_MATCH_MAX_LEN - LCP0) // EXT_W)
-    alive_b = jnp.zeros((bsz, n), bool)
-    cur, alive_b = _stage(cur, alive, alive_b, k_a, 0, 1, n_fast=2)
-    cur, _ = _stage(cur, alive_b, None, max(1024, k_a // 4), 1, n_rounds,
-                    n_fast=8)
+    if _os.environ.get("OTZ_ABLATE_EXT"):  # timing ablation only: wrong
+        pass  # lengths for >LCP0 matches; never use for real encodes
+    else:
+        alive_b = jnp.zeros((bsz, n), bool)
+        cur, alive_b = _stage(cur, alive, alive_b, k_a, 0, 1, n_fast=2)
+        # stage B: wide chunks beat many narrow ones here — op COUNT is the
+        # cost (wide elementwise ops are nearly free), so 2 x k_a chunks
+        # replace the old 8 x k_a/4 at 1/4 the straight-line op count
+        cur, _ = _stage(cur, alive_b, None, k_a, 1, n_rounds, n_fast=2)
 
     for _ in range(-(-LZ_MATCH_MAX_LEN // LCP0)):
         cur = jnp.where(link, LCP0 + _rolll(cur, LCP0), cur)
@@ -607,10 +612,12 @@ def pack_fields_b(an: Analysis, dec, bufs: jnp.ndarray) -> jnp.ndarray:
 
 def front_body_b(bufs: jnp.ndarray, seg_lens: jnp.ndarray, depth: int):
     """Batched device/pipeline._front_body."""
+    from orz_tpu.ops.walk_pallas import walk_items_pallas
+
     n = bufs.shape[1]
     an = analyze_b(bufs, seg_lens, depth, None)
     dec = decisions_b(an, seg_lens, n)
-    starts, n_items = walk_items_b(dec.nxt, seg_lens, n)
+    starts, n_items = walk_items_pallas(dec.nxt, seg_lens, n)
     pk1 = pack_fields_b(an, dec, bufs)
     return starts, n_items, pk1, an.bestq, an.bestro, bufs
 
@@ -627,9 +634,11 @@ def iter2_step_b(bufs, seg_lens, depth: int, starts_prev, n_items_prev,
     mask = bscatter_set(
         jnp.zeros((bsz, n), jnp.int32), idx, jnp.ones_like(idx)
     ).astype(bool)
+    from orz_tpu.ops.walk_pallas import walk_items_pallas
+
     an = analyze_b(bufs, seg_lens, depth, mask, words_mode=True, plan=plan)
     dec = decisions_b(an, seg_lens, n)
-    starts, n_items = walk_items_b(dec.nxt, seg_lens, n)
+    starts, n_items = walk_items_pallas(dec.nxt, seg_lens, n)
     return starts, n_items, pack_fields_b(an, dec, bufs)
 
 

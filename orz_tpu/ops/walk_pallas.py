@@ -1,0 +1,124 @@
+"""Pallas TPU kernel for the fence-block item walk.
+
+The parse walk (ops/parse.py walk_items) follows next(p) = p + len(p) from
+every FENCE-block base, in lockstep across blocks.  As XLA ops this is a
+sequential scan of ~FENCE tiny gather steps, and on the dev harness every
+sequential step costs ~0.3-0.8 ms of per-op overhead — the walk alone was
+~1.2 s per masked iteration at (B=4, 2 MiB), the single hottest piece of
+the OTZ2 schedule (round-4 chip trace).
+
+Here the whole walk is ONE kernel: lanes are blocks (128 per grid cell),
+the block's local next-table lives in VMEM as a (FENCE, 128) tile, and the
+walk advances all 128 lanes per VPU step with an iota-compare-extract
+(each lane reads its own cursor's jump without per-lane dynamic
+addressing).  The step loop runs on-core — no per-step runtime overhead —
+and exits as soon as every lane's cursor leaves its block.
+
+Returns, per block, the LOCAL item-start offsets in walk order, sentinel
+(SENT) beyond the block's item count; the caller adds block bases and
+sorts per segment (identical start sets to walk_items / walk_items_b).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from orz_tpu.device.spec import FENCE, PAD_FRONT
+
+WB = 128  # blocks (lanes) per grid cell
+SENT = 0x3FFFFF  # local sentinel (>= any local offset)
+
+
+def _walk_kernel(nxt_ref, blkend_ref, rec_ref):
+    """nxt_ref (FENCE, WB): local jump targets (cur -> nxt in [1, FENCE],
+    clipped); blkend_ref (1, WB): local end per block (0 = inactive);
+    rec_ref (FENCE, WB): local item offsets, SENT-filled."""
+    rec_ref[:, :] = jnp.full((FENCE, WB), jnp.int32(SENT), jnp.int32)
+    iota_r = lax.broadcasted_iota(jnp.int32, (FENCE, WB), 0)
+    blkend = blkend_ref[0:1, :]
+
+    def cond(c):
+        i, cur = c
+        return (i < FENCE) & jnp.any(cur < blkend)
+
+    def body(c):
+        i, cur = c
+        active = cur < blkend
+        rec_ref[pl.ds(i, 1), :] = jnp.where(active, cur, jnp.int32(SENT))
+        hit = iota_r == cur  # (FENCE, WB): one-hot per lane
+        nxtv = jnp.sum(jnp.where(hit, nxt_ref[:, :], 0), axis=0,
+                       keepdims=True)
+        # jumps always advance (next(p) >= p+1); the max guards a cursor
+        # that somehow missed (cannot happen for in-range cur)
+        return i + 1, jnp.where(active, jnp.maximum(nxtv, cur + 1), cur)
+
+    lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((1, WB), jnp.int32)))
+
+
+def walk_items_pallas(nxt: jnp.ndarray, seg_lens: jnp.ndarray, n: int):
+    """Batched walk via the kernel; mirrors ops/batched.walk_items_b
+    (same start sets and n_items; tail filled with a large sentinel)."""
+    bsz = nxt.shape[0]
+    m = n - PAD_FRONT
+    n_blocks = -(-m // FENCE)
+    pad_to = n_blocks * FENCE
+    end = (PAD_FRONT + seg_lens)[:, None]  # (B, 1)
+
+    nxtp = nxt[:, PAD_FRONT:]
+    if nxtp.shape[1] < pad_to:
+        nxtp = jnp.pad(nxtp, ((0, 0), (0, pad_to - nxtp.shape[1])))
+    blocks = nxtp.reshape(bsz * n_blocks, FENCE)
+    base = (
+        PAD_FRONT
+        + FENCE * jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
+        + jnp.zeros((bsz, 1), jnp.int32)
+    ).reshape(-1)  # (B*n_blocks,) global block bases
+    # local jumps: cur -> next - base, clipped into [1, FENCE] (>= blk_end
+    # means "done"); rows past the real array are never reached
+    local = jnp.clip(blocks - base[:, None], 1, FENCE)
+    blk_end_local = jnp.clip(
+        (end.reshape(bsz, 1) - base.reshape(bsz, n_blocks)), 0, FENCE
+    ).reshape(-1)
+
+    nb_total = bsz * n_blocks
+    cells = -(-nb_total // WB)
+    lane_pad = cells * WB - nb_total
+    localT = jnp.pad(local, ((0, lane_pad), (0, 0))).T  # (FENCE, cells*WB)
+    blk_endT = jnp.pad(blk_end_local, (0, lane_pad))[None, :]
+
+    recT = pl.pallas_call(
+        _walk_kernel,
+        interpret=jax.default_backend() != "tpu",
+        grid=(cells,),
+        in_specs=[
+            pl.BlockSpec((FENCE, WB), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WB), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FENCE, WB), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((FENCE, cells * WB), jnp.int32),
+    )(localT, blk_endT)
+
+    rec = recT.T[:nb_total]  # (B*n_blocks, FENCE) local offsets, walk order
+    starts_all = jnp.where(
+        rec >= SENT, jnp.int32(0x7FFFFFFE), rec + base[:, None]
+    ).reshape(bsz, n_blocks * FENCE)
+    starts = lax.sort(starts_all)
+    n_items = (starts < end).sum(axis=-1).astype(jnp.int32)
+    if starts.shape[1] >= m:
+        starts = starts[:, :m]
+    else:
+        starts = jnp.concatenate(
+            [starts,
+             jnp.full((bsz, m - starts.shape[1]), 1 << 30, jnp.int32)],
+            axis=-1,
+        )
+    return starts, n_items

@@ -35,6 +35,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+from jax import lax
 import jax.numpy as jnp
 import numpy as np
 
@@ -55,6 +56,7 @@ from orz_tpu.device.spec import (
 )
 from orz_tpu.golden.bitio import BitEncoder
 from orz_tpu.ops.symrank_pallas import R_CAP_MAX, RB_BLK
+from orz_tpu.utils import tpu_jit
 
 DEFAULT_BATCH = 4
 
@@ -70,50 +72,66 @@ def _runs(schedule):
     return tuple((d, c) for d, c in runs)
 
 
-@partial(jax.jit, static_argnames=("depth",), donate_argnums=(0,))
+@partial(tpu_jit, static_argnames=("depth",), donate_argnums=(0,))
 def b_front_jit(bufs, seg_lens, depth: int):
     from orz_tpu.ops.batched import front_body_b
 
     return front_body_b(bufs, seg_lens, depth)
 
 
-@partial(jax.jit, static_argnames=("runs", "c_shifts"))
-def b_quality_jit(bufs, seg_lens, starts0, ni0, pk0, runs, c_shifts: int):
+@partial(tpu_jit, static_argnames=("runs", "c_shifts"))
+def b_quality_jit(bufs, seg_lens, starts0, ni0, pk0, mask0, runs,
+                  c_shifts: int):
     """Masked plan + iteration schedule + conform analyses of the last two
     iterates, one program.  Returns two iterate tuples
     (starts, n_items, pk1, bestq2, bestlen2): A = second-to-last, B = last.
 
     Explicit-batch bodies (ops/batched.py): every gather/scatter runs on
-    the flat 1-d fast path across all B segments at once."""
+    the flat 1-d fast path across all B segments at once.  The scan
+    carries the START MASK, not sorted starts — the walk kernel emits the
+    mask tile directly, so each head iteration skips a full-size sort and
+    scatter; only the final two iterates materialize sorted starts (for
+    the conform/repair/emit stage)."""
     from orz_tpu.ops.batched import (
-        conform_body_b,
-        iter2_step_b,
+        conform_mask_b,
+        iter2_full_step_b,
+        iter2_mask_step_b,
         masked_plan_b,
     )
 
     plan = masked_plan_b(bufs, seg_lens)
-    st, ni, pk = starts0, ni0, pk0
+    flat = [d for d, c in runs for _ in range(c)]
+    head, tail = flat[:-2], flat[-2:]
+    mask, ni = mask0, ni0
 
-    def scan_run(depth, steps, st, ni, pk):
+    def scan_run(depth, steps, mask, ni):
         def sbody(carry, _):
-            cst, cni, cpk = carry
-            return iter2_step_b(bufs, seg_lens, depth, cst, cni, plan), None
+            m, _ni = carry
+            return iter2_mask_step_b(bufs, seg_lens, depth, m, plan), None
 
-        (st, ni, pk), _ = jax.lax.scan(
-            sbody, (st, ni, pk), None, length=steps
+        (mask, ni), _ = jax.lax.scan(sbody, (mask, ni), None, length=steps)
+        return mask, ni
+
+    i = 0
+    while i < len(head):
+        j = i
+        while j < len(head) and head[j] == head[i]:
+            j += 1
+        mask, ni = scan_run(head[i], j - i, mask, ni)
+        i = j
+
+    if len(tail) == 2:
+        st_a, ni_a, pk_a, mask_a = iter2_full_step_b(
+            bufs, seg_lens, tail[0], mask, plan
         )
-        return st, ni, pk
-
-    for d, cnt in runs[:-1]:
-        st, ni, pk = scan_run(d, cnt, st, ni, pk)
-    d, cnt = runs[-1]
-    if cnt > 1:
-        st, ni, pk = scan_run(d, cnt - 1, st, ni, pk)
-    st_a, ni_a, pk_a = st, ni, pk
-    st, ni, pk = iter2_step_b(bufs, seg_lens, d, st_a, ni_a, plan)
-    bq_a, bl_a = conform_body_b(bufs, seg_lens, c_shifts, st_a, ni_a, plan)
-    bq_b, bl_b = conform_body_b(bufs, seg_lens, c_shifts, st, ni, plan)
-    return (st_a, ni_a, pk_a, bq_a, bl_a), (st, ni, pk, bq_b, bl_b)
+    else:  # single-step schedule: iterate A is the front parse itself
+        st_a, ni_a, pk_a, mask_a = starts0, ni0, pk0, mask0
+    st_b, ni_b, pk_b, mask_b = iter2_full_step_b(
+        bufs, seg_lens, tail[-1], mask_a, plan
+    )
+    bq_a, bl_a = conform_mask_b(bufs, seg_lens, c_shifts, mask_a, plan)
+    bq_b, bl_b = conform_mask_b(bufs, seg_lens, c_shifts, mask_b, plan)
+    return (st_a, ni_a, pk_a, bq_a, bl_a), (st_b, ni_b, pk_b, bq_b, bl_b)
 
 
 @partial(jax.jit, static_argnames=("m2_cap",))
@@ -134,20 +152,30 @@ def b_mid2_jit(bufs, seg_lens, it_a, it_b, m2_cap: int):
                               bufs, seg_lens, predi=predi)
         return items, ok, items.n_items - ni
 
-    items_a, ok_a, dem_a = emit_one(*it_a)
     items_b, ok_b, dem_b = emit_one(*it_b)
     # newest-first pick: keep B unless anomalous and A is ok with fewer
-    # demotions (pipeline.dispatch_segment_mid2's thr heuristic)
+    # demotions (pipeline.dispatch_segment_mid2's thr heuristic).  The
+    # WHOLE second conform/repair/emit runs only when some segment's
+    # newest iterate is anomalous (lax.cond on a scalar — the common case
+    # skips half the mid2 program).
     thr = jnp.maximum(jnp.int32(1024), it_b[1] >> 7)
-    use_b = ok_b & ((dem_b <= thr) | ~ok_a | (dem_b <= dem_a))
+    anomalous = (~ok_b | (dem_b > thr)).any()
 
-    def sel(a, b):
-        u = use_b.reshape((-1,) + (1,) * (a.ndim - 1)) if a.ndim > 1 \
-            else use_b
-        return jnp.where(u, b, a)
+    def with_a(_):
+        items_a, ok_a, dem_a = emit_one(*it_a)
+        use_b = ok_b & ((dem_b <= thr) | ~ok_a | (dem_b <= dem_a))
 
-    items = jax.tree.map(sel, items_a, items_b)
-    ok = ok_a | ok_b
+        def sel(a, b):
+            u = use_b.reshape((-1,) + (1,) * (a.ndim - 1)) if a.ndim > 1 \
+                else use_b
+            return jnp.where(u, b, a)
+
+        return jax.tree.map(sel, items_a, items_b), ok_a | ok_b, dem_a
+
+    def without_a(_):
+        return items_b, ok_b, dem_b
+
+    items, ok, dem_a = lax.cond(anomalous, with_a, without_a, 0)
     r1, rounds = plan_stats_b(items.sr_ctx, items.n_items)
     return items, ok, r1, rounds, dem_a, dem_b
 
@@ -220,7 +248,7 @@ def encode_segments_batch(
     seg_lens = jnp.asarray(np.array([len(d) for d in datas], np.int32))
     depth = candidate_depth(level)
 
-    starts, n_items, pk1, bestq, bestro, bufs_d = b_front_jit(
+    starts, n_items, pk1, bestq, bestro, bufs_d, mask0 = b_front_jit(
         bufs_in, seg_lens, depth
     )
 
@@ -230,7 +258,8 @@ def encode_segments_batch(
         schedule = otz2_schedule()
         c_shifts = OTZ2_CONFORM_SHIFTS or schedule[-1]
         it_a, it_b = b_quality_jit(
-            bufs_d, seg_lens, starts, n_items, pk1, _runs(schedule), c_shifts
+            bufs_d, seg_lens, starts, n_items, pk1, mask0, _runs(schedule),
+            c_shifts
         )
         ni_host = np.asarray(_stack2(it_a[1], it_b[1]))  # one fetch
         ni_max = max(int(ni_host.max()), 1)

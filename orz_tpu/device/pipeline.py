@@ -33,7 +33,7 @@ from orz_tpu.device.spec import (
 )
 from orz_tpu.golden.bitio import BitEncoder
 from orz_tpu.ops.analyze import analyze
-from orz_tpu.utils import enable_compilation_cache
+from orz_tpu.utils import enable_compilation_cache, tpu_jit
 
 enable_compilation_cache()  # device programs are huge; cache them on disk
 from orz_tpu.ops.bitpack import pack_items
@@ -63,7 +63,7 @@ def _w_total(c_max: int, chunk_input: int) -> int:
     return (c_max * chunk_input) // 2 + 64 * c_max
 
 
-@partial(jax.jit, static_argnames=("depth", "chunk_input", "c_max"))
+@partial(tpu_jit, static_argnames=("depth", "chunk_input", "c_max"))
 def encode_segment_jit(
     buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int, chunk_input: int, c_max: int
 ) -> SegmentOut:
@@ -192,7 +192,7 @@ def _front_body(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int):
     return starts, n_items, pk1, an.bestq, an.bestro, buf
 
 
-@partial(jax.jit, static_argnames=("depth",), donate_argnums=(0,))
+@partial(tpu_jit, static_argnames=("depth",), donate_argnums=(0,))
 def encode_front_jit(buf: jnp.ndarray, seg_len: jnp.ndarray, depth: int):
     return _front_body(buf, seg_len, depth)
 
@@ -279,13 +279,13 @@ def _iter2_step(buf, seg_len, depth: int, starts_prev, n_items_prev, plan):
     return starts, n_items, pack_fields(an, dec, buf)
 
 
-@partial(jax.jit, static_argnames=("depth",))
+@partial(tpu_jit, static_argnames=("depth",))
 def encode_iter2_jit(buf, seg_len, depth: int, starts_prev, n_items_prev,
                      plan=None):
     return _iter2_step(buf, seg_len, depth, starts_prev, n_items_prev, plan)
 
 
-@partial(jax.jit, static_argnames=("depth", "steps"))
+@partial(tpu_jit, static_argnames=("depth", "steps"))
 def encode_iter2_scan_jit(buf, seg_len, depth: int, steps: int, starts0,
                           n_items0, pk1_0, plan=None):
     """`steps` masked re-parses chained inside ONE program via lax.scan.
@@ -324,7 +324,7 @@ def _conform_body(buf, seg_len, depth: int, starts, n_items, plan=None):
     return an2.bestq, an2.bestlen
 
 
-@partial(jax.jit, static_argnames=("depth",))
+@partial(tpu_jit, static_argnames=("depth",))
 def encode_conform_jit(buf, seg_len, depth: int, starts, n_items, plan=None):
     return _conform_body(buf, seg_len, depth, starts, n_items, plan)
 

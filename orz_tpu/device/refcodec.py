@@ -155,7 +155,7 @@ class Items:
 # Candidate scoring window in bytes (must equal ops/analyze.py LCP0 /
 # ops/match_pallas.py N_DW*4: candidates are ranked by their LCP within
 # this window, full-window winners extended to the true length afterwards).
-SCORE_W = 32
+SCORE_W = 64
 
 
 def analyze_ref(buf: np.ndarray, seg_len: int, depth: int,

@@ -47,11 +47,13 @@ from orz_tpu.device.spec import (
     min_match_len_for_ro,
 )
 
-LCP0 = 32  # initial (sort-payload) LCP window in bytes; measured on the
-# sequential oracle (encode_segment_seq2, 256 KiB): 16 vs 32 is
-# ratio-neutral (100.22% vs 100.24% of orz).  32 costs 4 more sort payload
-# arrays but shrinks the gather-extension terminal set ~4x (only matches
-# that fill the whole window ever reach the extension stages).
+LCP0 = 64  # initial (sort-payload) LCP window in bytes.  64 (round 4, was
+# 32): scoring candidates over the wider window recovers ~0.17 pt of ratio
+# vs orz -l2 (STATUS r3 lever sweep) AND shrinks the gather-extension
+# terminal set severalfold — only matches filling the whole window reach
+# the extension stages, whose capacity-limited fast path then almost
+# always suffices (the dynamic fallback was the hottest construct left in
+# the round-4 batched iteration trace).  Costs 8 more sort payload arrays.
 N_DW = LCP0 // 4
 
 

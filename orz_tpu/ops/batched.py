@@ -610,54 +610,82 @@ def pack_fields_b(an: Analysis, dec, bufs: jnp.ndarray) -> jnp.ndarray:
 # --- pipeline bodies ---------------------------------------------------------
 
 
-def front_body_b(bufs: jnp.ndarray, seg_lens: jnp.ndarray, depth: int):
-    """Batched device/pipeline._front_body."""
-    from orz_tpu.ops.walk_pallas import walk_items_pallas
-
-    n = bufs.shape[1]
-    an = analyze_b(bufs, seg_lens, depth, None)
-    dec = decisions_b(an, seg_lens, n)
-    starts, n_items = walk_items_pallas(dec.nxt, seg_lens, n)
-    pk1 = pack_fields_b(an, dec, bufs)
-    return starts, n_items, pk1, an.bestq, an.bestro, bufs
-
-
-def iter2_step_b(bufs, seg_lens, depth: int, starts_prev, n_items_prev,
-                 plan):
-    """Batched device/pipeline._iter2_step (one masked re-parse)."""
-    bsz, n = bufs.shape
-    valid = (
-        jnp.arange(starts_prev.shape[1], dtype=jnp.int32)[None, :]
-        < n_items_prev[:, None]
-    )
-    idx = jnp.where(valid, starts_prev, n)
-    mask = bscatter_set(
-        jnp.zeros((bsz, n), jnp.int32), idx, jnp.ones_like(idx)
-    ).astype(bool)
-    from orz_tpu.ops.walk_pallas import walk_items_pallas
-
-    an = analyze_b(bufs, seg_lens, depth, mask, words_mode=True, plan=plan)
-    dec = decisions_b(an, seg_lens, n)
-    starts, n_items = walk_items_pallas(dec.nxt, seg_lens, n)
-    return starts, n_items, pack_fields_b(an, dec, bufs)
-
-
-def conform_body_b(bufs, seg_lens, depth: int, starts, n_items, plan):
-    """Batched device/pipeline._conform_body (full-ring conform analysis)."""
-    from orz_tpu.device.spec import OTZ2_CONFORM_CAP
-
-    bsz, n = bufs.shape
+def mask_from_starts_b(starts, n_items, n: int):
+    """(B, m) starts -> (B, n) bool mask (one flat scatter)."""
+    bsz = starts.shape[0]
     valid = (
         jnp.arange(starts.shape[1], dtype=jnp.int32)[None, :]
         < n_items[:, None]
     )
     idx = jnp.where(valid, starts, n)
-    mask = bscatter_set(
+    return bscatter_set(
         jnp.zeros((bsz, n), jnp.int32), idx, jnp.ones_like(idx)
     ).astype(bool)
+
+
+def front_body_b(bufs: jnp.ndarray, seg_lens: jnp.ndarray, depth: int):
+    """Batched device/pipeline._front_body (+ the start mask, which seeds
+    the OTZ2 iteration scan without an extra scatter)."""
+    from orz_tpu.ops.walk_pallas import walk_items_pallas
+
+    n = bufs.shape[1]
+    an = analyze_b(bufs, seg_lens, depth, None)
+    dec = decisions_b(an, seg_lens, n)
+    starts, n_items, mask = walk_items_pallas(dec.nxt, seg_lens, n)
+    pk1 = pack_fields_b(an, dec, bufs)
+    return starts, n_items, pk1, an.bestq, an.bestro, bufs, mask
+
+
+def iter2_mask_step_b(bufs, seg_lens, depth: int, mask_prev, plan):
+    """One masked re-parse, mask-in / mask-out: the iteration scan's fast
+    carry (no start sort, no mask scatter — the walk kernel emits the mask
+    tile directly)."""
+    from orz_tpu.ops.walk_pallas import walk_mask_pallas
+
+    n = bufs.shape[1]
+    an = analyze_b(bufs, seg_lens, depth, mask_prev, words_mode=True,
+                   plan=plan)
+    dec = decisions_b(an, seg_lens, n)
+    mask, n_items = walk_mask_pallas(dec.nxt, seg_lens, n)
+    return mask, n_items
+
+
+def iter2_full_step_b(bufs, seg_lens, depth: int, mask_prev, plan):
+    """Masked re-parse emitting sorted starts + packed fields + the new
+    mask (for the final iterates, which mid2 consumes)."""
+    from orz_tpu.ops.walk_pallas import walk_items_pallas
+
+    n = bufs.shape[1]
+    an = analyze_b(bufs, seg_lens, depth, mask_prev, words_mode=True,
+                   plan=plan)
+    dec = decisions_b(an, seg_lens, n)
+    starts, n_items, mask = walk_items_pallas(dec.nxt, seg_lens, n)
+    return starts, n_items, pack_fields_b(an, dec, bufs), mask
+
+
+def iter2_step_b(bufs, seg_lens, depth: int, starts_prev, n_items_prev,
+                 plan):
+    """Batched device/pipeline._iter2_step (one masked re-parse), from
+    sorted starts (compat wrapper over the mask-carry steps)."""
+    n = bufs.shape[1]
+    mask = mask_from_starts_b(starts_prev, n_items_prev, n)
+    st, ni, pk, _ = iter2_full_step_b(bufs, seg_lens, depth, mask, plan)
+    return st, ni, pk
+
+
+def conform_mask_b(bufs, seg_lens, depth: int, mask, plan):
+    """Full-ring conform analysis from a position mask."""
+    from orz_tpu.device.spec import OTZ2_CONFORM_CAP
+
     an2 = analyze_b(bufs, seg_lens, depth, mask, words_mode=True, plan=plan,
                     ro_cap=OTZ2_CONFORM_CAP)
     return an2.bestq, an2.bestlen
+
+
+def conform_body_b(bufs, seg_lens, depth: int, starts, n_items, plan):
+    """Batched device/pipeline._conform_body (full-ring conform analysis)."""
+    mask = mask_from_starts_b(starts, n_items, bufs.shape[1])
+    return conform_mask_b(bufs, seg_lens, depth, mask, plan)
 
 
 # --- item-space helpers (batched ops/otz2.py) -------------------------------

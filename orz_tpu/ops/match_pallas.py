@@ -33,11 +33,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from orz_tpu.device.spec import FENCE, PAD_FRONT, RING, min_match_len_for_ro
 
-N_DW = 8  # dwords of LCP window carried through the sort (32 bytes; the
-# wider window cuts the post-kernel extension's terminal set ~4x — matches
-# shorter than the window never enter the gather-extension stages — and was
-# measured ratio-neutral vs 16 on the sequential oracle)
-ROWS = 256  # tile rows; tile = (ROWS, 128) int32 per operand (128 KiB)
+N_DW = 16  # dwords of LCP window carried through the sort (64 bytes, must
+# equal ops/analyze.py LCP0/4: candidates are scored by LCP within this
+# window; the wider window both cuts the extension terminal set and
+# recovers ~0.17 pt of ratio vs orz -l2)
+ROWS = 256  # tile rows; tile = (ROWS, 128) int32 per operand (128 KiB).
+# At N_DW=16 the masked kernel's ~20 operand tiles + shift views need
+# ~17 MB of scoped VMEM — above the 16 MB default ceiling (a compiler
+# budget, not physical VMEM), so every jit entry containing this kernel
+# goes through utils.tpu_jit, which raises the ceiling on TPU backends
 LANES = 128
 
 

@@ -1,4 +1,4 @@
-"""Pallas TPU kernel for the fence-block item walk.
+"""Pallas TPU kernels for the fence-block item walk.
 
 The parse walk (ops/parse.py walk_items) follows next(p) = p + len(p) from
 every FENCE-block base, in lockstep across blocks.  As XLA ops this is a
@@ -14,33 +14,32 @@ walk advances all 128 lanes per VPU step with an iota-compare-extract
 addressing).  The step loop runs on-core — no per-step runtime overhead —
 and exits as soon as every lane's cursor leaves its block.
 
-Returns, per block, the LOCAL item-start offsets in walk order, sentinel
-(SENT) beyond the block's item count; the caller adds block bases and
-sorts per segment (identical start sets to walk_items / walk_items_b).
+Two single-output variants keep each call inside the 16 MB scoped-VMEM
+budget (nxt + one output, double-buffered):
+
+- REC kernel: per block, the LOCAL item-start offsets in walk order
+  (sentinel beyond the item count); caller adds block bases and sorts per
+  segment — identical start sets to walk_items / walk_items_b.
+- MASK kernel: a 0/1 tile marking item-start offsets in POSITION order —
+  what the OTZ2 iteration scan actually carries (no sort needed).
 """
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from orz_tpu.device.spec import FENCE, PAD_FRONT
 
-WB = 128  # blocks (lanes) per grid cell
+WB = 128  # blocks (lanes) per grid cell (TPU lane width)
 SENT = 0x3FFFFF  # local sentinel (>= any local offset)
 
 
-def _walk_kernel(nxt_ref, blkend_ref, rec_ref):
-    """nxt_ref (FENCE, WB): local jump targets (cur -> nxt in [1, FENCE],
-    clipped); blkend_ref (1, WB): local end per block (0 = inactive);
-    rec_ref (FENCE, WB): local item offsets, SENT-filled."""
-    rec_ref[:, :] = jnp.full((FENCE, WB), jnp.int32(SENT), jnp.int32)
+def _walk_body(nxt_ref, blkend_ref, emit):
+    """Shared walk loop; `emit(i, cur, active)` records the step."""
     iota_r = lax.broadcasted_iota(jnp.int32, (FENCE, WB), 0)
     blkend = blkend_ref[0:1, :]
 
@@ -51,7 +50,7 @@ def _walk_kernel(nxt_ref, blkend_ref, rec_ref):
     def body(c):
         i, cur = c
         active = cur < blkend
-        rec_ref[pl.ds(i, 1), :] = jnp.where(active, cur, jnp.int32(SENT))
+        emit(i, cur, active, iota_r)
         hit = iota_r == cur  # (FENCE, WB): one-hot per lane
         nxtv = jnp.sum(jnp.where(hit, nxt_ref[:, :], 0), axis=0,
                        keepdims=True)
@@ -62,14 +61,32 @@ def _walk_kernel(nxt_ref, blkend_ref, rec_ref):
     lax.while_loop(cond, body, (jnp.int32(0), jnp.zeros((1, WB), jnp.int32)))
 
 
-def walk_items_pallas(nxt: jnp.ndarray, seg_lens: jnp.ndarray, n: int):
-    """Batched walk via the kernel; mirrors ops/batched.walk_items_b
-    (same start sets and n_items; tail filled with a large sentinel)."""
+def _rec_kernel(nxt_ref, blkend_ref, rec_ref):
+    rec_ref[:, :] = jnp.full((FENCE, WB), jnp.int32(SENT), jnp.int32)
+
+    def emit(i, cur, active, iota_r):
+        rec_ref[pl.ds(i, 1), :] = jnp.where(active, cur, jnp.int32(SENT))
+
+    _walk_body(nxt_ref, blkend_ref, emit)
+
+
+def _mask_kernel(nxt_ref, blkend_ref, mask_ref):
+    mask_ref[:, :] = jnp.zeros((FENCE, WB), jnp.int32)
+
+    def emit(i, cur, active, iota_r):
+        mask_ref[:, :] = jnp.where(
+            (iota_r == cur) & active, 1, mask_ref[:, :]
+        )
+
+    _walk_body(nxt_ref, blkend_ref, emit)
+
+
+def _prep(nxt, seg_lens, n: int):
     bsz = nxt.shape[0]
     m = n - PAD_FRONT
     n_blocks = -(-m // FENCE)
     pad_to = n_blocks * FENCE
-    end = (PAD_FRONT + seg_lens)[:, None]  # (B, 1)
+    end = (PAD_FRONT + seg_lens)[:, None]
 
     nxtp = nxt[:, PAD_FRONT:]
     if nxtp.shape[1] < pad_to:
@@ -79,7 +96,7 @@ def walk_items_pallas(nxt: jnp.ndarray, seg_lens: jnp.ndarray, n: int):
         PAD_FRONT
         + FENCE * jnp.arange(n_blocks, dtype=jnp.int32)[None, :]
         + jnp.zeros((bsz, 1), jnp.int32)
-    ).reshape(-1)  # (B*n_blocks,) global block bases
+    ).reshape(-1)  # (B*n_blocks,) global block bases (per-segment local)
     # local jumps: cur -> next - base, clipped into [1, FENCE] (>= blk_end
     # means "done"); rows past the real array are never reached
     local = jnp.clip(blocks - base[:, None], 1, FENCE)
@@ -92,9 +109,12 @@ def walk_items_pallas(nxt: jnp.ndarray, seg_lens: jnp.ndarray, n: int):
     lane_pad = cells * WB - nb_total
     localT = jnp.pad(local, ((0, lane_pad), (0, 0))).T  # (FENCE, cells*WB)
     blk_endT = jnp.pad(blk_end_local, (0, lane_pad))[None, :]
+    return localT, blk_endT, base, end, n_blocks, nb_total, cells
 
-    recT = pl.pallas_call(
-        _walk_kernel,
+
+def _call(kernel, localT, blk_endT, cells: int):
+    return pl.pallas_call(
+        kernel,
         interpret=jax.default_backend() != "tpu",
         grid=(cells,),
         in_specs=[
@@ -106,6 +126,20 @@ def walk_items_pallas(nxt: jnp.ndarray, seg_lens: jnp.ndarray, n: int):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((FENCE, cells * WB), jnp.int32),
     )(localT, blk_endT)
+
+
+def walk_items_pallas(nxt: jnp.ndarray, seg_lens: jnp.ndarray, n: int):
+    """(starts, n_items, mask): sorted per-segment item starts (tail filled
+    with a large sentinel) + the position mask.  Start sets identical to
+    walk_items_b (tests/test_batched_ops.py)."""
+    from orz_tpu.ops.batched import mask_from_starts_b
+
+    bsz = nxt.shape[0]
+    m = n - PAD_FRONT
+    localT, blk_endT, base, end, n_blocks, nb_total, cells = _prep(
+        nxt, seg_lens, n
+    )
+    recT = _call(_rec_kernel, localT, blk_endT, cells)
 
     rec = recT.T[:nb_total]  # (B*n_blocks, FENCE) local offsets, walk order
     starts_all = jnp.where(
@@ -121,4 +155,24 @@ def walk_items_pallas(nxt: jnp.ndarray, seg_lens: jnp.ndarray, n: int):
              jnp.full((bsz, m - starts.shape[1]), 1 << 30, jnp.int32)],
             axis=-1,
         )
-    return starts, n_items
+    return starts, n_items, mask_from_starts_b(starts, n_items, n)
+
+
+def walk_mask_pallas(nxt: jnp.ndarray, seg_lens: jnp.ndarray, n: int):
+    """(mask (B, n) bool, n_items) without any start sort — the OTZ2
+    iteration scan's fast carry."""
+    bsz = nxt.shape[0]
+    localT, blk_endT, base, end, n_blocks, nb_total, cells = _prep(
+        nxt, seg_lens, n
+    )
+    maskT = _call(_mask_kernel, localT, blk_endT, cells)
+
+    mk = maskT.T[:nb_total].reshape(bsz, n_blocks * FENCE)
+    width = min(n - PAD_FRONT, n_blocks * FENCE)
+    mask = jnp.concatenate(
+        [jnp.zeros((bsz, PAD_FRONT), jnp.int32), mk[:, :width],
+         jnp.zeros((bsz, n - PAD_FRONT - width), jnp.int32)],
+        axis=-1,
+    ).astype(bool)
+    n_items = mask.sum(axis=-1).astype(jnp.int32)
+    return mask, n_items

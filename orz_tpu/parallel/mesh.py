@@ -39,7 +39,10 @@ def blocks_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devs[:n]), ("blocks",))
 
 
-@partial(jax.jit, static_argnames=("depth", "chunk_input", "c_max"))
+from orz_tpu.utils import tpu_jit
+
+
+@partial(tpu_jit, static_argnames=("depth", "chunk_input", "c_max"))
 def _batched_encode_jit(bufs, seg_lens, depth: int, chunk_input: int, c_max: int):
     return jax.vmap(
         lambda b, l: encode_segment_jit(b, l, depth, chunk_input, c_max)
@@ -99,40 +102,51 @@ def _otz2_chain_local(bufs, seg_lens, depth: int, runs, c_shifts: int,
 
     from orz_tpu.ops.batched import (
         back_body_b,
-        conform_body_b,
+        conform_mask_b,
         conform_repair_b,
         emit_items2_b,
         front_body_b,
-        iter2_step_b,
+        iter2_full_step_b,
+        iter2_mask_step_b,
         masked_plan_b,
         plan_stats_b,
     )
 
-    starts, n_items, pk1, bestq, bestro, _ = front_body_b(
+    starts, n_items, pk1, bestq, bestro, _, mask0 = front_body_b(
         bufs, seg_lens, depth
     )
     plan = masked_plan_b(bufs, seg_lens)
-    st, ni, pk = starts, n_items, pk1
+    flat = [d for d, c in runs for _ in range(c)]
+    head, tail = flat[:-2], flat[-2:]
+    mask, ni = mask0, n_items
 
-    def scan_run(d, steps, st, ni, pk):
+    def scan_run(d, steps, mask, ni):
         def sbody(carry, _):
-            cst, cni, cpk = carry
-            return iter2_step_b(bufs, seg_lens, d, cst, cni, plan), None
+            m, _ni = carry
+            return iter2_mask_step_b(bufs, seg_lens, d, m, plan), None
 
-        (st, ni, pk), _ = jax.lax.scan(sbody, (st, ni, pk), None,
-                                       length=steps)
-        return st, ni, pk
+        (mask, ni), _ = jax.lax.scan(sbody, (mask, ni), None, length=steps)
+        return mask, ni
 
-    for d, cnt in runs[:-1]:
-        st, ni, pk = scan_run(d, cnt, st, ni, pk)
-    d, cnt = runs[-1]
-    if cnt > 1:
-        st, ni, pk = scan_run(d, cnt - 1, st, ni, pk)
-    st_a, ni_a, pk_a = st, ni, pk
-    st, ni, pk = iter2_step_b(bufs, seg_lens, d, st_a, ni_a, plan)
+    i = 0
+    while i < len(head):
+        j = i
+        while j < len(head) and head[j] == head[i]:
+            j += 1
+        mask, ni = scan_run(head[i], j - i, mask, ni)
+        i = j
+    if len(tail) == 2:
+        st_a, ni_a, pk_a, mask_a = iter2_full_step_b(
+            bufs, seg_lens, tail[0], mask, plan
+        )
+    else:
+        st_a, ni_a, pk_a, mask_a = starts, n_items, pk1, mask0
+    st_b, ni_b, pk_b, mask_b = iter2_full_step_b(
+        bufs, seg_lens, tail[-1], mask_a, plan
+    )
 
-    def emit_one(st, ni, pk):
-        bq, bl = conform_body_b(bufs, seg_lens, c_shifts, st, ni, plan)
+    def emit_one(st, ni, pk, msk):
+        bq, bl = conform_mask_b(bufs, seg_lens, c_shifts, msk, plan)
         start, kind, length, q, rep0, ro, predi, n2, ok = conform_repair_b(
             st[:, :m2_cap], ni, pk, bq, bl, bufs, seg_lens, words_mode=True
         )
@@ -140,8 +154,9 @@ def _otz2_chain_local(bufs, seg_lens, depth: int, runs, c_shifts: int,
                               bufs, seg_lens, predi=predi)
         return items, ok, items.n_items - ni
 
-    items_a, ok_a, dem_a = emit_one(st_a, ni_a, pk_a)
-    items_b, ok_b, dem_b = emit_one(st, ni, pk)
+    items_a, ok_a, dem_a = emit_one(st_a, ni_a, pk_a, mask_a)
+    items_b, ok_b, dem_b = emit_one(st_b, ni_b, pk_b, mask_b)
+    ni = ni_b
     thr = jnp.maximum(jnp.int32(1024), ni >> 7)
     use_b = ok_b & ((dem_b <= thr) | ~ok_a | (dem_b <= dem_a))
 
@@ -195,7 +210,9 @@ def mesh_encode_segments_staged(
     bufs = jax.device_put(bufs, buf_sh)
     lens = jax.device_put(lens, len_sh)
 
-    fn = jax.jit(jax.shard_map(
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": "32768"}
+            if jax.default_backend() == "tpu" else None)
+    fn = jax.jit(compiler_options=opts)(jax.shard_map(
         partial(_otz2_chain_local, **statics),
         mesh=mesh,
         in_specs=(P("blocks", None), P("blocks")),

@@ -32,7 +32,7 @@ def test_front_body_matches(segs):
 
     cap = 1 << 15
     bufs, lens = _pad_two(segs, cap)
-    b_starts, b_ni, b_pk, b_bq, b_bro, _ = front_body_b(bufs, lens, 32)
+    b_starts, b_ni, b_pk, b_bq, b_bro, _, b_mask = front_body_b(bufs, lens, 32)
     for i, s in enumerate(segs):
         starts, ni, pk, bq, bro, _ = _front_body(bufs[i], lens[i], 32)
         assert int(b_ni[i]) == int(ni)
@@ -60,7 +60,7 @@ def test_iter_and_conform_match(segs):
 
     cap = 1 << 15
     bufs, lens = _pad_two(segs, cap)
-    b_starts, b_ni, b_pk, _, _, _ = (
+    b_starts, b_ni, b_pk, _, _, _, _ = (
         __import__("orz_tpu.ops.batched", fromlist=["x"]).front_body_b(
             bufs, lens, 32
         )

@@ -79,29 +79,16 @@ def b_front_jit(bufs, seg_lens, depth: int):
     return front_body_b(bufs, seg_lens, depth)
 
 
-@partial(tpu_jit, static_argnames=("runs", "c_shifts"))
-def b_quality_jit(bufs, seg_lens, starts0, ni0, pk0, mask0, runs,
-                  c_shifts: int):
-    """Masked plan + iteration schedule + conform analyses of the last two
-    iterates, one program.  Returns two iterate tuples
-    (starts, n_items, pk1, bestq2, bestlen2): A = second-to-last, B = last.
-
-    Explicit-batch bodies (ops/batched.py): every gather/scatter runs on
-    the flat 1-d fast path across all B segments at once.  The scan
-    carries the START MASK, not sorted starts — the walk kernel emits the
-    mask tile directly, so each head iteration skips a full-size sort and
-    scatter; only the final two iterates materialize sorted starts (for
-    the conform/repair/emit stage)."""
-    from orz_tpu.ops.batched import (
-        conform_mask_b,
-        iter2_full_step_b,
-        iter2_mask_step_b,
-        masked_plan_b,
-    )
+@partial(tpu_jit, static_argnames=("head",))
+def b_scan_jit(bufs, seg_lens, mask0, ni0, head):
+    """Masked plan + the head of the iteration schedule (all but the last
+    two steps) as mask-carry scans.  Returns (plan, mask, ni); the plan
+    rides to b_tail_jit on-device (two programs halve the peak compile
+    memory of the former single quality program, whose XLA compile OOMed
+    the local AOT helper at N_DW=16)."""
+    from orz_tpu.ops.batched import iter2_mask_step_b, masked_plan_b
 
     plan = masked_plan_b(bufs, seg_lens)
-    flat = [d for d, c in runs for _ in range(c)]
-    head, tail = flat[:-2], flat[-2:]
     mask, ni = mask0, ni0
 
     def scan_run(depth, steps, mask, ni):
@@ -119,19 +106,39 @@ def b_quality_jit(bufs, seg_lens, starts0, ni0, pk0, mask0, runs,
             j += 1
         mask, ni = scan_run(head[i], j - i, mask, ni)
         i = j
+    return plan, mask, ni
+
+
+@partial(tpu_jit, static_argnames=("tail", "c_shifts"))
+def b_tail_jit(bufs, seg_lens, plan, starts0, ni0, pk0, mask, tail,
+               c_shifts: int):
+    """The final two full iterates + their conform analyses.  Returns two
+    iterate tuples (starts, n_items, pk1, bestq2, bestlen2): A = second-to-
+    last, B = last."""
+    from orz_tpu.ops.batched import conform_mask_b, iter2_full_step_b
 
     if len(tail) == 2:
         st_a, ni_a, pk_a, mask_a = iter2_full_step_b(
             bufs, seg_lens, tail[0], mask, plan
         )
     else:  # single-step schedule: iterate A is the front parse itself
-        st_a, ni_a, pk_a, mask_a = starts0, ni0, pk0, mask0
+        st_a, ni_a, pk_a, mask_a = starts0, ni0, pk0, mask
     st_b, ni_b, pk_b, mask_b = iter2_full_step_b(
         bufs, seg_lens, tail[-1], mask_a, plan
     )
     bq_a, bl_a = conform_mask_b(bufs, seg_lens, c_shifts, mask_a, plan)
     bq_b, bl_b = conform_mask_b(bufs, seg_lens, c_shifts, mask_b, plan)
     return (st_a, ni_a, pk_a, bq_a, bl_a), (st_b, ni_b, pk_b, bq_b, bl_b)
+
+
+def b_quality(bufs, seg_lens, starts0, ni0, pk0, mask0, runs,
+              c_shifts: int):
+    """Two-dispatch quality chain (see b_scan_jit / b_tail_jit)."""
+    flat = [d for d, c in runs for _ in range(c)]
+    head, tail = tuple(flat[:-2]), tuple(flat[-2:])
+    plan, mask, ni = b_scan_jit(bufs, seg_lens, mask0, ni0, head)
+    return b_tail_jit(bufs, seg_lens, plan, starts0, ni0, pk0, mask, tail,
+                      c_shifts)
 
 
 @partial(jax.jit, static_argnames=("m2_cap",))
@@ -257,7 +264,7 @@ def encode_segments_batch(
 
         schedule = otz2_schedule()
         c_shifts = OTZ2_CONFORM_SHIFTS or schedule[-1]
-        it_a, it_b = b_quality_jit(
+        it_a, it_b = b_quality(
             bufs_d, seg_lens, starts, n_items, pk1, mask0, _runs(schedule),
             c_shifts
         )

@@ -131,8 +131,18 @@ def _call(kernel, localT, blk_endT, cells: int):
 def walk_items_pallas(nxt: jnp.ndarray, seg_lens: jnp.ndarray, n: int):
     """(starts, n_items, mask): sorted per-segment item starts (tail filled
     with a large sentinel) + the position mask.  Start sets identical to
-    walk_items_b (tests/test_batched_ops.py)."""
+    walk_items_b (tests/test_batched_ops.py).
+
+    Off-TPU the XLA scan walk runs instead: interpreting the kernel's
+    per-step while loop in Python is orders slower than the scan (the
+    kernel itself is covered by dedicated small interpret-mode tests)."""
     from orz_tpu.ops.batched import mask_from_starts_b
+
+    if jax.default_backend() != "tpu":
+        from orz_tpu.ops.batched import walk_items_b
+
+        starts, n_items = walk_items_b(nxt, seg_lens, n)
+        return starts, n_items, mask_from_starts_b(starts, n_items, n)
 
     bsz = nxt.shape[0]
     m = n - PAD_FRONT
@@ -161,6 +171,12 @@ def walk_items_pallas(nxt: jnp.ndarray, seg_lens: jnp.ndarray, n: int):
 def walk_mask_pallas(nxt: jnp.ndarray, seg_lens: jnp.ndarray, n: int):
     """(mask (B, n) bool, n_items) without any start sort — the OTZ2
     iteration scan's fast carry."""
+    if jax.default_backend() != "tpu":  # see walk_items_pallas
+        from orz_tpu.ops.batched import mask_from_starts_b, walk_items_b
+
+        starts, n_items = walk_items_b(nxt, seg_lens, n)
+        return mask_from_starts_b(starts, n_items, n), n_items
+
     bsz = nxt.shape[0]
     localT, blk_endT, base, end, n_blocks, nb_total, cells = _prep(
         nxt, seg_lens, n

@@ -67,7 +67,7 @@ def emit_result() -> None:
 
 
 def start_watchdog() -> None:
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2400"))
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2100"))
 
     def fire():
         RESULT["extra"]["deadline_hit"] = True
@@ -182,24 +182,11 @@ def main() -> int:
     warmup_s = time.perf_counter() - t0
     print(f"bench: warm-up (compile) {warmup_s:.1f}s", file=sys.stderr)
     RESULT["extra"].update({"warmup_s": round(warmup_s, 1),
-                            "phase": "end_to_end"})
-
-    t0 = time.perf_counter()
-    comp = tpu_encode_bytes(data, level=level, segment_size=segment_size,
-                            num_streams=n_batch)
-    dt = time.perf_counter() - t0
-    gbps = len(data) / dt / 1e9
-    RESULT["extra"].update({"end_to_end_GBps": round(gbps, 4),
                             "phase": "device_compute"})
 
-    # Device encode throughput: segments resident in HBM, payload assembly
-    # excluded, several segments in flight so host<->device round trips
-    # overlap device compute.  The dev harness reaches the chip through a
-    # ~30 MB/s relay tunnel with ~30 ms round trips, which caps the
-    # end-to-end number measured above regardless of device speed; on
-    # directly-attached TPU hosts (>10 GB/s DMA) end-to-end tracks this
-    # compute rate, so this is the headline metric (end-to-end reported
-    # alongside it in `extra`).
+    # device-compute first: the headline metric must land before the
+    # slower end-to-end / ratio measurements in case the caller's kill
+    # timer beats the deadline watchdog
     gbps_c = 0.0
     gbps_otz1 = 0.0
     try:
@@ -252,6 +239,27 @@ def main() -> int:
     except Exception as e:
         print(f"bench: device compute measurement skipped: {e}", file=sys.stderr)
 
+    RESULT["extra"]["phase"] = "end_to_end"
+
+    t0 = time.perf_counter()
+    comp = tpu_encode_bytes(data, level=level, segment_size=segment_size,
+                            num_streams=n_batch)
+    dt = time.perf_counter() - t0
+    gbps = len(data) / dt / 1e9
+    RESULT["extra"].update({"end_to_end_GBps": round(gbps, 4)})
+
+    # Device encode throughput: segments resident in HBM, payload assembly
+    # excluded, several segments in flight so host<->device round trips
+    # overlap device compute.  The dev harness reaches the chip through a
+    # ~30 MB/s relay tunnel with ~30 ms round trips, which caps the
+    # end-to-end number measured above regardless of device speed; on
+    # directly-attached TPU hosts (>10 GB/s DMA) end-to-end tracks this
+    # compute rate, so this is the headline metric (end-to-end reported
+    # alongside it in `extra`).
+
+    import gc
+
+    gc.collect()  # drop device refs from the encode before decode/ratio
     RESULT["extra"]["phase"] = "decode"
     t1 = time.perf_counter()
     out = tpu_decode_bytes(comp)

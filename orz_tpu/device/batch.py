@@ -275,6 +275,13 @@ def encode_segments_batch(
             bufs_d, seg_lens, it_a, it_b, m2_cap
         )
         ok_host = np.asarray(ok)
+        # free the iterate arrays (10 n-sized buffers) and, when no segment
+        # needs the OTZ1 fallback, the front outputs too — with two batches
+        # in flight the retained intermediates exhausted device HBM on the
+        # 16 GB chip (bench round-trip run, 2026-08-20)
+        del it_a, it_b
+        if ok_host.all():
+            starts = pk1 = bestq = bestro = mask0 = None
     else:
         ni_host = np.asarray(n_items)
         m_cap = _bucket(max(int(ni_host.max()), 1), 1 << 14, 2)
@@ -294,6 +301,7 @@ def encode_segments_batch(
     r1_cap = _bucket(max(int(r1_h.max()), 1), RB_BLK)
     rm_cap = _bucket(max(int((r_h - r1_h).max()), 1), 4 * RB_BLK)
     out = b_back_jit(items, chunk_input, c_max, r1_cap, rm_cap)
+    del items
 
     metas = np.asarray(out.meta)  # (B, L), one fetch
     total_words = int(metas[:, 3].max())

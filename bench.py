@@ -66,6 +66,24 @@ def emit_result() -> None:
         print(json.dumps(RESULT), flush=True)
 
 
+def record_hbm(tag: str) -> None:
+    """Track peak device memory in RESULT (best-effort; CPU backends and
+    older plugins have no memory_stats)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0))
+        prev = RESULT["extra"].get("peak_hbm_gb", 0.0)
+        RESULT["extra"]["peak_hbm_gb"] = round(
+            max(prev, peak / 1e9), 2)
+        print(f"bench: hbm[{tag}] in_use="
+              f"{stats.get('bytes_in_use', 0)/1e9:.2f} GB peak="
+              f"{peak/1e9:.2f} GB", file=sys.stderr, flush=True)
+    except Exception:
+        pass
+
+
 def start_watchdog() -> None:
     deadline = float(os.environ.get("BENCH_DEADLINE_S", "2100"))
 
@@ -140,6 +158,24 @@ def _orz_size(sample: bytes, level: int) -> int:
 
 
 def main() -> int:
+    """try/finally shell: ANY failure still emits the partial JSON line.
+
+    Rounds 3 and 4 both produced `parsed: null` driver captures because the
+    measured numbers were sitting in RESULT when an exception (cold-compile
+    timeout, device OOM) killed the process before the happy-path emit."""
+    try:
+        return _main()
+    except BaseException as e:  # noqa: BLE001 — partial result > clean trace
+        import traceback
+
+        traceback.print_exc()
+        RESULT["extra"]["error"] = f"{type(e).__name__}: {e}"[:400]
+        return 1
+    finally:
+        emit_result()
+
+
+def _main() -> int:
     start_watchdog()
     mb = int(os.environ.get("BENCH_MB", "32"))
     level = int(os.environ.get("BENCH_LEVEL", "2"))
@@ -189,6 +225,7 @@ def main() -> int:
     # timer beats the deadline watchdog
     gbps_c = 0.0
     gbps_otz1 = 0.0
+    staged = None
     try:
         import jax.numpy as jnp
         from orz_tpu.device import pipeline as _pipe
@@ -239,6 +276,20 @@ def main() -> int:
     except Exception as e:
         print(f"bench: device compute measurement skipped: {e}", file=sys.stderr)
 
+    record_hbm("compute")
+    # Free the pinned compute-phase input buffers before the end-to-end
+    # phase: round 4's driver run OOMed the 16 GB chip at the end-to-end
+    # staging device_put with these still resident (VERDICT r4 weak #2).
+    if staged is not None:
+        try:
+            staged.delete()
+        except Exception:
+            pass
+        staged = None
+    import gc
+
+    gc.collect()
+
     RESULT["extra"]["phase"] = "end_to_end"
 
     t0 = time.perf_counter()
@@ -247,6 +298,7 @@ def main() -> int:
     dt = time.perf_counter() - t0
     gbps = len(data) / dt / 1e9
     RESULT["extra"].update({"end_to_end_GBps": round(gbps, 4)})
+    record_hbm("end_to_end")
 
     # Device encode throughput: segments resident in HBM, payload assembly
     # excluded, several segments in flight so host<->device round trips
@@ -256,8 +308,6 @@ def main() -> int:
     # directly-attached TPU hosts (>10 GB/s DMA) end-to-end tracks this
     # compute rate, so this is the headline metric (end-to-end reported
     # alongside it in `extra`).
-
-    import gc
 
     gc.collect()  # drop device refs from the encode before decode/ratio
     RESULT["extra"]["phase"] = "decode"
@@ -274,7 +324,22 @@ def main() -> int:
           f"ratio {ratio*100:.2f}% ({len(comp)}/{len(data)})", file=sys.stderr)
     RESULT["extra"].update({"decode_MBps": round(decode_mbps, 1),
                             "ratio": round(ratio, 4),
-                            "round_trip": "ok", "phase": "ratio_vs_orz"})
+                            "round_trip": "ok", "phase": "decode_1t"})
+
+    # single-thread decode (the reference's headline axis: one core,
+    # 166-173 MB/s, reference README.md:43-46)
+    try:
+        t1 = time.perf_counter()
+        out1 = tpu_decode_bytes(comp, num_streams=1)
+        dt1 = time.perf_counter() - t1
+        if out1 == data:
+            RESULT["extra"]["decode_1t_MBps"] = round(len(data) / dt1 / 1e6, 1)
+            print(f"bench: decode single-thread {len(data)/dt1/1e6:.1f} MB/s",
+                  file=sys.stderr)
+        del out1
+    except Exception as e:
+        print(f"bench: single-thread decode skipped: {e}", file=sys.stderr)
+    RESULT["extra"]["phase"] = "ratio_vs_orz"
 
     # compressed-size parity vs the format-exact native ORZ codec (CPU) on
     # the DEFAULT path at a full segment

@@ -310,7 +310,7 @@ struct Decoder {
     // retention bound (thread_local decoder): one giant segment would pin
     // peak buffers on this pool thread forever; shrink when capacity
     // exceeds 4x the present need
-    if (buf.capacity() > 4 * need && need > (1u << 20)) {
+    if (buf.capacity() > 4 * need && buf.capacity() > (4u << 20)) {
       buf.resize(need);
       buf.shrink_to_fit();
       pred2.shrink_to_fit();

@@ -58,11 +58,15 @@ def bgather(arr: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 def bscatter_set(dst: jnp.ndarray, idx: jnp.ndarray, val,
                  unique: bool = True) -> jnp.ndarray:
     """dst (B, n) .at[b, idx[b]] = val with drop semantics for idx outside
-    [0, n) — one flat 1-d scatter."""
+    [0, n) — one flat 1-d scatter.  Out-of-range entries map to UNIQUE
+    out-of-bounds sentinels (b*n + flat slot) so two invalid entries never
+    collide under the unique_indices promise (UB per JAX docs otherwise;
+    same discipline as ops/symrank_pallas.py's OOB sentinels)."""
     b, n = dst.shape
     off = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
     ok = (idx >= 0) & (idx < n)
-    gidx = jnp.where(ok, idx + off, b * n)
+    flat_slot = jnp.arange(idx.size, dtype=jnp.int32).reshape(idx.shape)
+    gidx = jnp.where(ok, idx + off, b * n + flat_slot)
     if not isinstance(val, jnp.ndarray) or val.ndim == 0:
         val = jnp.broadcast_to(val, idx.shape)
     flat = dst.reshape(-1).at[gidx.reshape(-1)].set(

@@ -49,8 +49,13 @@ def pipe_encode(
 
     encode_batch: when given, full batches of `batch_size` segments go
     through it (one device dispatch chain covers the whole batch —
-    orz_tpu/device/batch.py) with up to 2 batches in flight; leftovers
-    (fewer than batch_size segments at EOF) still use encode_segment."""
+    orz_tpu/device/batch.py).  EOF leftovers (fewer than batch_size
+    segments) are padded with copies of the first leftover segment and
+    routed through encode_batch too — the padding's payloads are discarded;
+    this trades up to (batch_size-1) redundant segment encodes for reusing
+    the one compiled batch program set (the per-segment programs would cost
+    a separate multi-minute compile).  A short input therefore pays for one
+    full batch even when it holds a single segment."""
     progress = progress or SilentProgressLogger()
     progress.set_is_encode(True)
     if not isinstance(source, CountRead):
@@ -79,13 +84,21 @@ def pipe_encode(
 
     if encode_batch is not None:
         bsz = max(batch_size or num_streams, 1)
-        # two workers: batch k+1's dispatches overlap batch k's host-side
-        # payload assembly (the device queue serializes execution anyway)
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        # Batches in flight: 2 lets batch k+1's dispatches overlap batch k's
+        # host-side payload assembly (the device queue serializes execution
+        # anyway), but each in-flight batch retains its full set of device
+        # intermediates — with OTZ2 plans that deterministically exhausted
+        # the 16 GB chip in round 4's driver bench.  Default to ONE batch in
+        # flight (the overlap won is host assembly, ~100 ms, vs multi-second
+        # device compute); ORZ_INFLIGHT=2 restores the overlap.
+        import os
+
+        inflight = max(1, int(os.environ.get("ORZ_INFLIGHT", "1")))
+        with ThreadPoolExecutor(max_workers=inflight) as pool:
             pending = []  # futures resolving to list[bytes]
             eof = False
             while not eof or pending:
-                while not eof and len(pending) < 2:
+                while not eof and len(pending) < inflight:
                     segs = []
                     while len(segs) < bsz:
                         seg = read_segment()

@@ -48,10 +48,20 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     if cache_dir is None:
         root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
         cache_dir = os.path.join(root, "build", "jax_cache")
+        # Key on the backend that will actually run, not just the env/config
+        # string: a host that lands on XLA:CPU implicitly (no TPU configured,
+        # env unset) must still get the per-host-fingerprint directory or
+        # the cross-host AOT SIGILL hazard stays open (ADVICE r4).  Decided
+        # WITHOUT touching the backend (jax.default_backend() would
+        # initialize XLA, which breaks jax.distributed.initialize callers
+        # later in the process).
         plat = os.environ.get("JAX_PLATFORMS", "") or str(
             getattr(jax.config, "jax_platforms", None) or ""
         )
-        if "cpu" in plat:
+        tpu_configured = any(w in plat for w in ("tpu", "axon")) or (
+            not plat and os.environ.get("PALLAS_AXON_POOL_IPS")
+        )
+        if not tpu_configured:
             cache_dir += f"_cpu_{_cpu_fingerprint()}"
     try:
         os.makedirs(cache_dir, exist_ok=True)

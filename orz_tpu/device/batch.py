@@ -79,13 +79,11 @@ def b_front_jit(bufs, seg_lens, depth: int):
     return front_body_b(bufs, seg_lens, depth)
 
 
-@partial(tpu_jit, static_argnames=("head",))
-def b_scan_jit(bufs, seg_lens, mask0, ni0, head):
+def quality_scan_body(bufs, seg_lens, mask0, ni0, head):
     """Masked plan + the head of the iteration schedule (all but the last
-    two steps) as mask-carry scans.  Returns (plan, mask, ni); the plan
-    rides to b_tail_jit on-device (two programs halve the peak compile
-    memory of the former single quality program, whose XLA compile OOMed
-    the local AOT helper at N_DW=16)."""
+    two steps) as mask-carry scans.  Returns (plan, mask, ni).  Plain
+    traceable body — shared by the batched jits below and the shard_map
+    mesh chain (orz_tpu/parallel/mesh.py): ONE source of truth."""
     from orz_tpu.ops.batched import iter2_mask_step_b, masked_plan_b
 
     plan = masked_plan_b(bufs, seg_lens)
@@ -109,12 +107,11 @@ def b_scan_jit(bufs, seg_lens, mask0, ni0, head):
     return plan, mask, ni
 
 
-@partial(tpu_jit, static_argnames=("tail", "c_shifts"))
-def b_tail_jit(bufs, seg_lens, plan, starts0, ni0, pk0, mask, tail,
-               c_shifts: int):
+def quality_tail_body(bufs, seg_lens, plan, starts0, ni0, pk0, mask, tail,
+                      c_shifts: int):
     """The final two full iterates + their conform analyses.  Returns two
     iterate tuples (starts, n_items, pk1, bestq2, bestlen2): A = second-to-
-    last, B = last."""
+    last, B = last.  Shared body (see quality_scan_body)."""
     from orz_tpu.ops.batched import conform_mask_b, iter2_full_step_b
 
     if len(tail) == 2:
@@ -131,6 +128,25 @@ def b_tail_jit(bufs, seg_lens, plan, starts0, ni0, pk0, mask, tail,
     return (st_a, ni_a, pk_a, bq_a, bl_a), (st_b, ni_b, pk_b, bq_b, bl_b)
 
 
+# Two separate programs (scan head / tail) halve the peak compile memory of
+# the former single quality program, whose XLA compile OOMed the local AOT
+# helper at N_DW=16.  (Named wrappers, not partial(tpu_jit)(body): the jit
+# name feeds the compiled-program name, keeping compile-cache entries
+# stable.)
+
+
+@partial(tpu_jit, static_argnames=("head",))
+def b_scan_jit(bufs, seg_lens, mask0, ni0, head):
+    return quality_scan_body(bufs, seg_lens, mask0, ni0, head)
+
+
+@partial(tpu_jit, static_argnames=("tail", "c_shifts"))
+def b_tail_jit(bufs, seg_lens, plan, starts0, ni0, pk0, mask, tail,
+               c_shifts: int):
+    return quality_tail_body(bufs, seg_lens, plan, starts0, ni0, pk0, mask,
+                             tail, c_shifts)
+
+
 def b_quality(bufs, seg_lens, starts0, ni0, pk0, mask0, runs,
               c_shifts: int):
     """Two-dispatch quality chain (see b_scan_jit / b_tail_jit)."""
@@ -141,10 +157,11 @@ def b_quality(bufs, seg_lens, starts0, ni0, pk0, mask0, runs,
                       c_shifts)
 
 
-@partial(jax.jit, static_argnames=("m2_cap",))
-def b_mid2_jit(bufs, seg_lens, it_a, it_b, m2_cap: int):
+def mid2_body(bufs, seg_lens, it_a, it_b, m2_cap: int):
     """Conform/repair/emit both iterates; demotion-ranked per-segment pick
-    (the host best-of-2 of pipeline.dispatch_segment_mid2, on-device)."""
+    (the host best-of-2 of pipeline.dispatch_segment_mid2, on-device).
+    Shared body (see quality_scan_body): the batched jit below and the
+    shard_map mesh chain both run exactly this selection rule."""
     from orz_tpu.ops.batched import (
         conform_repair_b,
         emit_items2_b,
@@ -185,6 +202,11 @@ def b_mid2_jit(bufs, seg_lens, it_a, it_b, m2_cap: int):
     items, ok, dem_a = lax.cond(anomalous, with_a, without_a, 0)
     r1, rounds = plan_stats_b(items.sr_ctx, items.n_items)
     return items, ok, r1, rounds, dem_a, dem_b
+
+
+@partial(jax.jit, static_argnames=("m2_cap",))
+def b_mid2_jit(bufs, seg_lens, it_a, it_b, m2_cap: int):
+    return mid2_body(bufs, seg_lens, it_a, it_b, m2_cap)
 
 
 @partial(jax.jit, static_argnames=("m_cap",))

@@ -55,15 +55,29 @@ def tpu_encode(
 
     batch = max(batch, 1)
     # fixed shape bucket = the full segment size, so every batch (including
-    # padded EOF leftovers) reuses one compiled program set
+    # padded EOF leftovers) reuses one compiled program set.  batch == 1
+    # still rides the batched chain at B=1 (same program set as any other
+    # B, so e.g. an 8 MiB-segment bench compiles exactly one set); the
+    # per-segment staged path remains reachable via ORZ_PER_SEGMENT=1.
+    import os
+
     cap = _bucket_capacity(segment_size)
+    per_segment = os.environ.get("ORZ_PER_SEGMENT") == "1"
+
+    def encode_batch(segs):
+        # steady-state full segments land in the fixed bucket; a leftover
+        # batch of short segments (or a sub-segment-size input) takes its
+        # own smaller bucket instead of padding to the full segment size
+        c = min(cap, _bucket_capacity(max(len(s) for s in segs)))
+        return encode_segments_batch(segs, level, chunk_input,
+                                     rings_mode=rings_mode, cap=c)
+
     pipe_encode(
         source, target,
         lambda seg: encode_segment_staged(seg, level, chunk_input,
                                           rings_mode=rings_mode),
         TPU_MAGIC, segment_size, batch, progress,
-        encode_batch=(None if batch == 1 else lambda segs: encode_segments_batch(
-            segs, level, chunk_input, rings_mode=rings_mode, cap=cap)),
+        encode_batch=None if per_segment else encode_batch,
         batch_size=batch,
     )
 

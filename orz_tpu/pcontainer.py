@@ -109,17 +109,27 @@ def pipe_encode(
                     if not segs:
                         break
                     if len(segs) == bsz:
-                        pending.append(pool.submit(encode_batch, segs))
+                        pending.append((segs, pool.submit(encode_batch, segs)))
                     else:  # EOF leftovers: pad the batch with copies of the
                         # first segment (same compiled programs, same
                         # shapes) and discard the padding's payloads
                         k = len(segs)
                         padded = segs + [segs[0]] * (bsz - k)
-                        pending.append(pool.submit(
+                        pending.append((segs, pool.submit(
                             lambda ss, k=k: encode_batch(ss)[:k], padded
-                        ))
+                        )))
                 if pending:
-                    for payload in pending.pop(0).result():
+                    segs_in, fut = pending.pop(0)
+                    try:
+                        payloads = fut.result()
+                    except Exception:
+                        # failure recovery at segment granularity (the axis
+                        # the format gives us): a failed batch dispatch
+                        # (device OOM, transient backend error) re-encodes
+                        # its segments one at a time through the host
+                        # per-segment path; a second failure propagates
+                        payloads = [encode_segment(s) for s in segs_in]
+                    for payload in payloads:
                         emit(payload)
         write_len(target, 0)
         progress.finish(source.count(), target.count())

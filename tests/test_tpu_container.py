@@ -79,3 +79,37 @@ def test_distributed_single_process(tmp_path, rng):
     src.write_bytes(data)
     dist.distributed_encode_file(str(src), str(dst), level=1, segment_size=1 << 14)
     assert tpu_decode_bytes(dst.read_bytes()) == data
+
+
+def test_pipe_encode_batch_failure_recovers(rng):
+    """A failed batch dispatch re-encodes its segments per-segment
+    (failure recovery at the format's natural retry granularity)."""
+    import io
+
+    from orz_tpu.ioutil import read_len
+    from orz_tpu.pcontainer import pipe_encode
+
+    data = make_text_like(rng, 5000)
+    calls = {"batch": 0}
+
+    def bad_batch(segs):
+        calls["batch"] += 1
+        raise RuntimeError("simulated device OOM")
+
+    def enc_seg(seg):
+        return bytes(reversed(seg))
+
+    src, dst = io.BytesIO(data), io.BytesIO()
+    pipe_encode(src, dst, enc_seg, b"TEST\x01", 1024, 2,
+                encode_batch=bad_batch, batch_size=2)
+    assert calls["batch"] >= 1  # the batch path did run and fail
+    out = io.BytesIO(dst.getvalue())
+    assert out.read(5) == b"TEST\x01"
+    assert read_len(out) == 1024
+    got = bytearray()
+    while True:
+        n = read_len(out)
+        if n == 0:
+            break
+        got += bytes(reversed(out.read(n)))
+    assert bytes(got) == data

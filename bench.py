@@ -344,6 +344,7 @@ def _main() -> int:
     # compressed-size parity vs the format-exact native ORZ codec (CPU) on
     # the DEFAULT path at a full segment
     ratio_vs_orz = None
+    orz_size = None
     try:
         sample = data[: min(len(data), 8 << 20)]
         orz_size = _orz_size(sample, level)
@@ -354,6 +355,26 @@ def _main() -> int:
         RESULT["extra"]["ratio_vs_orz_l2"] = round(ratio_vs_orz, 4)
     except Exception as e:  # size check is informational
         print(f"bench: orz size comparison skipped: {e}", file=sys.stderr)
+
+    # the same 8 MiB sample as ONE window (segment_size=8 MiB, B=1): the
+    # ratio-optimal configuration now that the 8 MiB bucket compiles
+    # (round 5; segmentation into 4 x 2 MiB windows costs ~0.5 pt)
+    if (orz_size is not None and segment_size < (8 << 20)
+            and len(data) >= (8 << 20)
+            and os.environ.get("BENCH_8M_RATIO", "1") == "1"):
+        RESULT["extra"]["phase"] = "ratio_8m_window"
+        try:
+            otz8 = tpu_encode_bytes(sample, level=level,
+                                    segment_size=8 << 20, num_streams=1)
+            if tpu_decode_bytes(otz8) != sample:
+                raise RuntimeError("8 MiB-window round-trip failed")
+            r8 = len(otz8) / orz_size
+            print(f"bench: size vs orz l{level}, 8MiB sample as ONE window: "
+                  f"otz={len(otz8)} orz={orz_size} ({r8*100:.2f}%), "
+                  f"round-trip ok", file=sys.stderr)
+            RESULT["extra"]["ratio_vs_orz_l2_8m_window"] = round(r8, 4)
+        except Exception as e:
+            print(f"bench: 8 MiB-window ratio skipped: {e}", file=sys.stderr)
     RESULT["extra"]["phase"] = "ratio_alt_corpus"
 
     # second ratio point on the OTHER corpus kind (both kinds matter: the

@@ -24,6 +24,10 @@ LEVEL_PRESETS = {
     0: LZCfg(5, 3, 2),
     1: LZCfg(15, 9, 6),
     2: LZCfg(45, 27, 18),
+    # level 3 is an OTZ-engine quality preset (a deeper masked-iteration
+    # schedule, device/spec.py otz2_schedule); the host ORZ codec has no
+    # deeper search than the reference's l2, so it maps to the same cfg
+    3: LZCfg(45, 27, 18),
 }
 
 

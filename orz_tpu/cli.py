@@ -50,7 +50,7 @@ def main(argv=None) -> int:
 
     p_enc = sub.add_parser("encode", help="Encode")
     p_enc.add_argument("-s", "--silent", action="store_true", help="Run silently")
-    p_enc.add_argument("-l", "--level", type=int, default=2, help="Set compression level (0..2)")
+    p_enc.add_argument("-l", "--level", type=int, default=2, help="Set compression level (0..3; 3 = deeper OTZ quality schedule, TPU engine)")
     p_enc.add_argument("-b", "--backend", default="auto", help="codec backend: auto|native|golden|tpu")
     p_enc.add_argument("-p", "--parallel", type=int, default=0, metavar="N",
                        help="block-parallel multi-stream container over N workers/devices")

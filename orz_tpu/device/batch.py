@@ -284,7 +284,7 @@ def encode_segments_batch(
     if rings_mode:
         from orz_tpu.device.spec import OTZ2_CONFORM_SHIFTS
 
-        schedule = otz2_schedule()
+        schedule = otz2_schedule(level)
         c_shifts = OTZ2_CONFORM_SHIFTS or schedule[-1]
         it_a, it_b = b_quality(
             bufs_d, seg_lens, starts, n_items, pk1, mask0, _runs(schedule),

@@ -421,7 +421,7 @@ def dispatch_segment_mid2(front):
     seg_len = front["seg_len"]
     plan = masked_plan_jit(buf_d, seg_len)
     st, ni = starts, n_items
-    schedule = otz2_schedule()
+    schedule = otz2_schedule(front["level"])
     # The last (up to) 3 iterations run as separate dispatches so their
     # pre-states are host-visible for the best-of-N emission fallback below;
     # everything before them collapses into one lax.scan dispatch per

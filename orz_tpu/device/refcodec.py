@@ -637,7 +637,7 @@ def encode_segment_ref(data: bytes, level: int = 1,
     words_mode = 0
     if rings_mode:
         walk = parse_walk(an, buf, len(data))
-        schedule = otz2_schedule()
+        schedule = otz2_schedule(level)
         hist = []  # recent walks, newest last (pipeline keeps 3 candidates)
         for shifts in schedule:
             hist = hist[-2:] + [walk]

@@ -118,20 +118,27 @@ OTZ2_ITERS = int(_os_otz2.environ.get("OTZ2_ITERS", "6"))
 # to 0.03 pt)
 
 
-def otz2_schedule() -> list:
-    """Per-iteration shift depths.  The default runs 4 cheap mask-settling
-    iterations at 96 shifts then 8 deep re-pricing ones at 384 (the
-    convergence knee measured at 8 MiB real corpus: iters 8/10/12 =
-    101.1/102.8/100.5% of orz -l2 — with emission best-of-2 smoothing the
-    phase spikes, see pipeline.dispatch_segment_mid2).  Override with
-    OTZ2_SCHEDULE="96x4,384x6"-style strings, or OTZ2_ITERS/OTZ2_SHIFTS
-    for uniform schedules."""
+def otz2_schedule(level: int = 2) -> list:
+    """Per-iteration shift depths, by level.
+
+    Round-5 remeasurement at the 8 MiB bucket (real corpus, on-chip,
+    round-trip gated): leading 96-shift mask-settling iterations HURT at
+    scale (the short window prices candidates against a starved mask), so
+    the l2 default is one settling iteration + 11 deep ones —
+    100.48% of orz -l2 vs 100.63% for the former 96x4+384x8 at identical
+    cost.  Level 3 runs the same shape 8 iterations deeper (100.12%
+    measured; the fixed point oscillates with a damping envelope — see
+    STATUS.md round 5 — so returns past ~20 iterations are small).
+    Override with OTZ2_SCHEDULE="96x4,384x6"-style strings, or
+    OTZ2_ITERS/OTZ2_SHIFTS for uniform schedules."""
     s = _os_otz2.environ.get("OTZ2_SCHEDULE", "")
     if not s:
         if _os_otz2.environ.get("OTZ2_ITERS") or _os_otz2.environ.get(
                 "OTZ2_SHIFTS"):
             return [OTZ2_SHIFTS] * OTZ2_ITERS
-        return [96] * 4 + [384] * 8
+        if level >= 3:
+            return [96] * 1 + [384] * 19
+        return [96] * 1 + [384] * 11
     out = []
     for part in s.split(","):
         v, _, r = part.partition("x")
@@ -187,7 +194,8 @@ def min_match_len_for_ro(ro):
 # shares the hashed dword, so depths are smaller than orz's chain-walk depths
 # (reference src/main.rs:97-101 walks 5/15/45 hash-chain nodes, most of which
 # fail the first dword test).
-LEVEL_CANDIDATES = {0: 4, 1: 8, 2: 32}
+LEVEL_CANDIDATES = {0: 4, 1: 8, 2: 32, 3: 32}  # l3: deeper
+# iteration schedule (otz2_schedule), same candidate window as l2
 
 # lazy-parse thresholds mirrored from the reference parse heuristics
 # (reference src/lz.rs:113-118): matches shorter than MAX_LEN/2 may be

@@ -148,7 +148,7 @@ def mesh_encode_segments_staged(
     assert len(segments) % ndev == 0, "batch must tile the mesh"
     cap = _bucket_capacity(max(len(s) for s in segments))
     c_max = n_chunks_for(cap, chunk_input)
-    schedule = otz2_schedule()
+    schedule = otz2_schedule(level)
     c_shifts = OTZ2_CONFORM_SHIFTS or schedule[-1]
     r1_cap, rm_cap = _sr_caps_for(cap)
     statics = dict(

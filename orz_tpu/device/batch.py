@@ -259,6 +259,9 @@ def encode_segments_batch(
     device array (benchmarks: measures compute without the host->device
     put; copied on device since FRONT donates its input)."""
     assert datas and all(d is not None for d in datas)
+    from orz_tpu.utils.memguard import maybe_relieve_jit_pressure
+
+    maybe_relieve_jit_pressure()  # LLVM-JIT mmap exhaustion guard (round 5)
     if rings_mode is None:
         rings_mode = int(otz2_enabled(level))
     if any(len(d) == 0 for d in datas):  # empty segments: host-only framing

@@ -25,10 +25,11 @@ this dev harness's remote-compile tunnel; use 8 on real TPU hosts),
 BENCH_CORPUS (real|synthetic, default real),
 OTZ2 (=0 forces the legacy OTZ1 bytes-ring mode off the default quality
 path), BENCH_OTZ1_RATIO (=1 adds an OTZ1-mode ratio line for comparison),
-BENCH_DEADLINE_S (default 2400: emit the JSON line with whatever has been
+BENCH_DEADLINE_S (default 1500: emit the JSON line with whatever has been
 measured when the deadline hits, instead of dying silent to the caller's
 timeout — round 3's driver run produced nothing because a cold compile
-outlived the driver's kill timer).
+outlived the driver's kill timer, which rc=124 proved fires at <=2400 s;
+1500 leaves clear margin under any plausible caller timeout).
 """
 
 from __future__ import annotations
@@ -85,7 +86,7 @@ def record_hbm(tag: str) -> None:
 
 
 def start_watchdog() -> None:
-    deadline = float(os.environ.get("BENCH_DEADLINE_S", "2100"))
+    deadline = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
 
     def fire():
         RESULT["extra"]["deadline_hit"] = True
@@ -356,25 +357,6 @@ def _main() -> int:
     except Exception as e:  # size check is informational
         print(f"bench: orz size comparison skipped: {e}", file=sys.stderr)
 
-    # the same 8 MiB sample as ONE window (segment_size=8 MiB, B=1): the
-    # ratio-optimal configuration now that the 8 MiB bucket compiles
-    # (round 5; segmentation into 4 x 2 MiB windows costs ~0.5 pt)
-    if (orz_size is not None and segment_size < (8 << 20)
-            and len(data) >= (8 << 20)
-            and os.environ.get("BENCH_8M_RATIO", "1") == "1"):
-        RESULT["extra"]["phase"] = "ratio_8m_window"
-        try:
-            otz8 = tpu_encode_bytes(sample, level=level,
-                                    segment_size=8 << 20, num_streams=1)
-            if tpu_decode_bytes(otz8) != sample:
-                raise RuntimeError("8 MiB-window round-trip failed")
-            r8 = len(otz8) / orz_size
-            print(f"bench: size vs orz l{level}, 8MiB sample as ONE window: "
-                  f"otz={len(otz8)} orz={orz_size} ({r8*100:.2f}%), "
-                  f"round-trip ok", file=sys.stderr)
-            RESULT["extra"]["ratio_vs_orz_l2_8m_window"] = round(r8, 4)
-        except Exception as e:
-            print(f"bench: 8 MiB-window ratio skipped: {e}", file=sys.stderr)
     RESULT["extra"]["phase"] = "ratio_alt_corpus"
 
     # second ratio point on the OTHER corpus kind (both kinds matter: the
@@ -419,6 +401,29 @@ def _main() -> int:
                   f"({len(otz0)/orz0*100:.2f}%), round-trip ok", file=sys.stderr)
         except Exception as e:
             print(f"bench: l0 measurement skipped: {e}", file=sys.stderr)
+
+    # the same 8 MiB sample as ONE window (segment_size=8 MiB, B=1): the
+    # ratio-optimal configuration now that the 8 MiB bucket compiles
+    # (round 5; segmentation into 4 x 2 MiB windows costs ~0.5 pt).  LAST
+    # on purpose: cold, this one compile costs ~30 min over the dev
+    # harness's remote-compile tunnel — every other line must already be
+    # in RESULT when the deadline watchdog cuts it off.
+    if (orz_size is not None and segment_size < (8 << 20)
+            and len(data) >= (8 << 20)
+            and os.environ.get("BENCH_8M_RATIO", "1") == "1"):
+        RESULT["extra"]["phase"] = "ratio_8m_window"
+        try:
+            otz8 = tpu_encode_bytes(sample, level=level,
+                                    segment_size=8 << 20, num_streams=1)
+            if tpu_decode_bytes(otz8) != sample:
+                raise RuntimeError("8 MiB-window round-trip failed")
+            r8 = len(otz8) / orz_size
+            print(f"bench: size vs orz l{level}, 8MiB sample as ONE window: "
+                  f"otz={len(otz8)} orz={orz_size} ({r8*100:.2f}%), "
+                  f"round-trip ok", file=sys.stderr)
+            RESULT["extra"]["ratio_vs_orz_l2_8m_window"] = round(r8, 4)
+        except Exception as e:
+            print(f"bench: 8 MiB-window ratio skipped: {e}", file=sys.stderr)
 
     # legacy OTZ1 (bytes-only rings) comparison point, off by default: it
     # costs another encode of the sample
